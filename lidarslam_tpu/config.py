@@ -1,0 +1,245 @@
+"""Canonical configuration for the TPU LiDAR SLAM engine.
+
+One frozen-dataclass tree is the single source of truth for all tuning
+parameters, mirroring the reference's canonical member-variable set and tuned
+defaults (Slam.h:402-694, SpinningSensorKeypointExtractor.h:126-157,
+KeypointsMatcher.h:43-76, RollingGrid.h:172-212) so that users of the
+reference find the same knobs with the same names (snake_case) and defaults.
+
+On top of the algorithmic parameters, this config fixes the *static
+capacities* that turn the reference's dynamic containers into the fixed-shape
+masked tensors XLA needs: rings x max points per ring for the range image,
+max keypoints per type, map point capacity, k-NN candidate budgets.
+All dataclasses are frozen + hashable so they can be passed as `static_argnums`
+to `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from dataclasses import dataclass
+
+
+class Keypoint(enum.IntEnum):
+    """Keypoint types (Enums.h:30-39)."""
+
+    EDGE = 0
+    PLANE = 1
+    BLOB = 2
+
+
+KEYPOINT_NAMES = {Keypoint.EDGE: "edge", Keypoint.PLANE: "plane", Keypoint.BLOB: "blob"}
+
+
+class UndistortionMode(enum.IntEnum):
+    """How to correct rolling-shutter distortion (Enums.h:43-64)."""
+
+    NONE = 0
+    ONCE = 1
+    REFINED = 2
+
+
+class EgoMotionMode(enum.IntEnum):
+    """How to estimate ego-motion prior (Enums.h:68-93)."""
+
+    NONE = 0
+    MOTION_EXTRAPOLATION = 1
+    REGISTRATION = 2
+    MOTION_EXTRAPOLATION_AND_REGISTRATION = 3
+
+
+class MappingMode(enum.IntEnum):
+    """How to update the rolling maps (Enums.h:97-114)."""
+
+    NONE = 0
+    ADD_KPTS_TO_FIXED_MAP = 1
+    UPDATE = 2
+
+
+class SamplingMode(enum.IntEnum):
+    """In-leaf downsampling strategy of the map voxel grid (Enums.h:120-142)."""
+
+    FIRST = 0
+    LAST = 1
+    MAX_INTENSITY = 2
+    CENTER_POINT = 3
+    CENTROID = 4
+
+
+class MatchStatus(enum.IntEnum):
+    """Per-keypoint matching rejection causes (KeypointsMatcher.h:82-93)."""
+
+    SUCCESS = 0
+    BAD_MODEL_PARAMETRIZATION = 1
+    NOT_ENOUGH_NEIGHBORS = 2
+    NEIGHBORS_TOO_FAR = 3
+    BAD_PCA_STRUCTURE = 4
+    INVALID_NUMERICAL = 5
+    MSE_TOO_LARGE = 6
+    UNKNOWN = 7
+
+
+@dataclass(frozen=True)
+class ExtractorConfig:
+    """Spinning-sensor keypoint extractor parameters
+    (SpinningSensorKeypointExtractor.h:126-157) and range-image capacities."""
+
+    # --- capacities (TPU static shapes) ---
+    n_rings: int = 16          # rows of the range image (max laser rings)
+    max_ring_points: int = 2048  # columns of the range image (max firings/ring)
+    max_keypoints: int = 4096  # compacted keypoint capacity per type
+
+    # --- algorithmic parameters (reference defaults) ---
+    neighbor_width: int = 4
+    min_distance_to_sensor: float = 1.5      # [m]
+    min_beam_surface_angle: float = 10.0     # [deg]
+    plane_sin_angle_threshold: float = 0.5   # sin(30 deg)
+    edge_sin_angle_threshold: float = 0.86   # ~sin(60 deg)
+    dist_to_line_threshold: float = 0.20     # [m]
+    edge_depth_gap_threshold: float = 0.15   # [m]
+    edge_saliency_threshold: float = 1.5     # [m]
+    edge_intensity_gap_threshold: float = 50.0
+    # line-fit consistency gates (SpinningSensorKeypointExtractor.cxx:52-55)
+    line_max_distance: float = 0.02          # [m]
+    line_max_angle_deg: float = 40.0         # [deg]
+    # azimuthal resolution; <=0 means auto-estimate from first frame
+    azimuthal_resolution: float = 0.0        # [rad]
+    # iterations of the parallel greedy-NMS fixpoint (see ops/extractor.py)
+    nms_rounds: int = 8
+    # 1 blob keypoint every `blob_stride` points (SSKE.cxx:568)
+    blob_stride: int = 3
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Rolling voxel-grid map parameters (RollingGrid.h:172-212) plus the
+    TPU bucket-index layout that replaces the kd-tree."""
+
+    # --- reference parameters ---
+    grid_size: int = 50            # [voxels] rolling window is grid_size^3 voxels
+    voxel_resolution: float = 10.0  # [m/voxel] outer voxel edge
+    leaf_size: float = 0.2          # [m] inner sampling leaf edge
+    min_frames_per_voxel: int = 0   # moving-object rejection threshold
+    decaying_threshold: float = -1.0  # [s] forget removable points older than this
+    sampling: SamplingMode = SamplingMode.MAX_INTENSITY
+
+    # --- TPU capacities ---
+    capacity: int = 1 << 17        # max stored map points (one per leaf)
+    submap_capacity: int = 1 << 16  # max points in an extracted submap index
+    # neighbor-search bucket = bucket_factor * leaf_size; a bucket then holds
+    # at most bucket_factor^3 leaves, so bucket_capacity = bucket_factor^3
+    # guarantees no overflow.
+    bucket_factor: int = 4
+    # how many rings of buckets to search around the query bucket
+    # (1 -> 27 cells covering >= 1 bucket edge of radius, 2 -> 125 cells)
+    search_rings: int = 2
+
+
+@dataclass(frozen=True)
+class MatchingConfig:
+    """Keypoint->map matching parameters (KeypointsMatcher.h:43-76).
+
+    One instance for ego-motion matching, one for localization
+    (defaults below are localization's; see SlamConfig for the ego set,
+    Slam.h:614-643)."""
+
+    single_edge_per_ring: bool = False
+    max_neighbors_distance: float = 5.0   # [m]
+    edge_nb_neighbors: int = 10
+    edge_min_nb_neighbors: int = 4
+    edge_max_model_error: float = 0.2     # [m]
+    plane_nb_neighbors: int = 5
+    planarity_threshold: float = 0.04
+    plane_max_model_error: float = 0.2    # [m]
+    blob_nb_neighbors: int = 10
+    # saturation distance schedule across ICP iterations (Slam.h:640-643)
+    init_saturation_distance: float = 2.0   # [m]
+    final_saturation_distance: float = 0.5  # [m]
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Batched LM solver parameters (LocalOptimizer + Slam.h:589-597)."""
+
+    icp_max_iter: int = 3
+    lm_max_iter: int = 15
+    # Ceres-like defaults
+    function_tolerance: float = 1e-6
+    initial_lm_lambda: float = 1e-4
+    two_d_mode: bool = False
+
+
+@dataclass(frozen=True)
+class ConfidenceConfig:
+    """Confidence-estimator parameters (Slam.h:649-694)."""
+
+    overlap_sampling_ratio: float = 0.0   # [0-1]; 0 disables overlap estimation
+    time_window_duration: float = 0.0     # [s]; 0 disables motion-limit checks
+    velocity_limits: tuple = (3.4e38, 3.4e38)       # [m/s, deg/s]
+    acceleration_limits: tuple = (3.4e38, 3.4e38)   # [m/s2, deg/s2]
+    # number of scan points sampled for overlap LCP (static capacity)
+    overlap_max_samples: int = 8192
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    """Top-level config, mirroring Slam.h:402-694."""
+
+    # general
+    use_edges: bool = True
+    use_planes: bool = True
+    use_blobs: bool = False
+    ego_motion_mode: EgoMotionMode = EgoMotionMode.MOTION_EXTRAPOLATION
+    undistortion: UndistortionMode = UndistortionMode.NONE
+    mapping_mode: MappingMode = MappingMode.UPDATE
+    verbosity: int = 0
+    logging_timeout: float = -1.0   # <0: log everything; 0: disabled; >0: [s]
+
+    # keyframes (Slam.h:535-536)
+    kf_distance_threshold: float = 0.5  # [m]
+    kf_angle_threshold: float = 5.0     # [deg]
+
+    # ICP + LM budgets (Slam.h:589-597)
+    ego_motion_icp_max_iter: int = 4
+    ego_motion_lm_max_iter: int = 15
+    localization_icp_max_iter: int = 3
+    localization_lm_max_iter: int = 15
+
+    # guards (Slam.h:667-676)
+    max_extrapolation_ratio: float = 3.0
+    min_nb_matched_keypoints: int = 20
+
+    two_d_mode: bool = False
+
+    # sub-configs
+    extractor: ExtractorConfig = ExtractorConfig()
+    # per-keypoint-type maps with reference leaf sizes (Slam.cxx:155-157)
+    edge_map: MapConfig = MapConfig(leaf_size=0.30)
+    plane_map: MapConfig = MapConfig(leaf_size=0.60)
+    blob_map: MapConfig = MapConfig(leaf_size=0.30)
+    # ego-motion matching defaults (Slam.h:614-641)
+    ego_matching: MatchingConfig = MatchingConfig(
+        single_edge_per_ring=True,
+        edge_nb_neighbors=8,
+        edge_min_nb_neighbors=3,
+        init_saturation_distance=5.0,
+        final_saturation_distance=1.0,
+    )
+    # localization matching defaults (Slam.h:615-643)
+    loc_matching: MatchingConfig = MatchingConfig()
+    solver: SolverConfig = SolverConfig()
+    confidence: ConfidenceConfig = ConfidenceConfig()
+
+    def map_config(self, k: Keypoint) -> MapConfig:
+        return (self.edge_map, self.plane_map, self.blob_map)[int(k)]
+
+    def use_keypoints(self, k: Keypoint) -> bool:
+        return (self.use_edges, self.use_planes, self.use_blobs)[int(k)]
+
+    @property
+    def used_types(self):
+        return tuple(k for k in Keypoint if self.use_keypoints(k))
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
