@@ -1,0 +1,147 @@
+"""Fixed-shape sweep containers.
+
+The reference stores a sweep as a `pcl::PointCloud<LidarPoint>` with per-point
+`time, intensity, laser_id, device_id, label` fields (LidarPoint.h:31-77) and
+re-buckets it into per-ring `ScanLines` vectors
+(SpinningSensorKeypointExtractor.cxx:139-171). The TPU-native layout is a
+ring-major **range image**: `(R, C)` tensors where row = laser ring and
+column = firing index within the ring, packed left, with a validity mask.
+This is the axis system every extraction kernel vectorizes over.
+
+Keypoint sets are fixed-capacity `(K,)` struct-of-arrays with a count.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class RangeImage(NamedTuple):
+    """A sweep as a ring-major range image (all arrays shaped (R, C) except xyz)."""
+
+    xyz: jax.Array        # (R, C, 3) float32, LIDAR sensor frame (spin axis = Z)
+    intensity: jax.Array  # (R, C) float32
+    time: jax.Array       # (R, C) float32 — offset [s] from the frame stamp
+    valid: jax.Array      # (R, C) bool — packed left per row
+
+    @property
+    def n_rings(self):
+        return self.xyz.shape[0]
+
+    @property
+    def max_points(self):
+        return self.xyz.shape[1]
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity compacted keypoint set (one instance per keypoint type)."""
+
+    xyz: jax.Array        # (K, 3) float32
+    intensity: jax.Array  # (K,) float32
+    time: jax.Array       # (K,) float32
+    ring: jax.Array       # (K,) int32 — laser ring the point came from
+    valid: jax.Array      # (K,) bool
+    count: jax.Array      # () int32
+
+    @classmethod
+    def empty(cls, capacity: int):
+        return cls(
+            xyz=jnp.zeros((capacity, 3), jnp.float32),
+            intensity=jnp.zeros((capacity,), jnp.float32),
+            time=jnp.zeros((capacity,), jnp.float32),
+            ring=jnp.zeros((capacity,), jnp.int32),
+            valid=jnp.zeros((capacity,), bool),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+
+def build_range_image(
+    xyz: np.ndarray,
+    intensity: np.ndarray,
+    laser_id: np.ndarray,
+    time: np.ndarray,
+    n_rings: int,
+    max_ring_points: int,
+) -> RangeImage:
+    """Host-side bucketing of an unordered point list into a RangeImage.
+
+    Points are appended to their ring in input order, matching the reference's
+    `ConvertAndSortScanLines` (SSKE.cxx:139-161). Overflowing points beyond
+    `max_ring_points` per ring are dropped; rings >= n_rings are dropped.
+    """
+    xyz = np.asarray(xyz, np.float32)
+    n = len(xyz)
+    laser_id = np.asarray(laser_id, np.int64)
+    keep = (laser_id >= 0) & (laser_id < n_rings)
+
+    # stable order of points within each ring = input order
+    cols = np.zeros(n, np.int64)
+    counts = np.zeros(n_rings, np.int64)
+    lid_kept = laser_id[keep]
+    # vectorized per-ring running index
+    order = np.argsort(lid_kept, kind="stable")
+    sorted_lid = lid_kept[order]
+    start = np.searchsorted(sorted_lid, np.arange(n_rings), side="left")
+    run = np.arange(len(sorted_lid)) - start[sorted_lid]
+    cols_kept = np.empty(len(lid_kept), np.int64)
+    cols_kept[order] = run
+    np.add.at(counts, sorted_lid, 1)
+
+    keep_idx = np.flatnonzero(keep)
+    in_cap = cols_kept < max_ring_points
+    keep_idx = keep_idx[in_cap]
+    rows = laser_id[keep_idx]
+    cols_f = cols_kept[in_cap]
+
+    img_xyz = np.zeros((n_rings, max_ring_points, 3), np.float32)
+    img_int = np.zeros((n_rings, max_ring_points), np.float32)
+    img_time = np.zeros((n_rings, max_ring_points), np.float32)
+    img_valid = np.zeros((n_rings, max_ring_points), bool)
+    img_xyz[rows, cols_f] = xyz[keep_idx]
+    img_int[rows, cols_f] = np.asarray(intensity, np.float32)[keep_idx]
+    img_time[rows, cols_f] = np.asarray(time, np.float32)[keep_idx]
+    img_valid[rows, cols_f] = True
+
+    return RangeImage(
+        xyz=jnp.asarray(img_xyz),
+        intensity=jnp.asarray(img_int),
+        time=jnp.asarray(img_time),
+        valid=jnp.asarray(img_valid),
+    )
+
+
+def estimate_azimuthal_resolution(ri: RangeImage) -> float:
+    """Host-side estimate of the sensor's azimuthal resolution [rad].
+
+    Robust median-shrinking estimator over horizontal angles between
+    successive firings of the same ring (SSKE.cxx:593-637): iteratively drop
+    angles above a ceiling until the ceiling is < 1.8x the median, which
+    discards multi-firing jumps and dual returns.
+    """
+    xy = np.asarray(ri.xyz)[..., :2]
+    valid = np.asarray(ri.valid)
+    a, b = xy[:, :-1], xy[:, 1:]
+    pair_valid = valid[:, :-1] & valid[:, 1:]
+    na = np.linalg.norm(a, axis=-1)
+    nb = np.linalg.norm(b, axis=-1)
+    denom = np.maximum(na * nb, 1e-12)
+    cosang = np.clip(np.sum(a * b, axis=-1) / denom, -1.0, 1.0)
+    ang = np.abs(np.arccos(cosang))[pair_valid]
+    ang = ang[ang > 1e-4]
+    if len(ang) < 100:
+        return np.deg2rad(0.2)  # fallback default (SSKE.cxx:217-218)
+    ang = np.sort(ang)
+    hi = len(ang)
+    max_angle = np.deg2rad(5.0)
+    median = 0.0
+    while max_angle > 1.8 * median:
+        hi = int(np.searchsorted(ang[:hi], max_angle, side="right"))
+        if hi == 0:
+            return np.deg2rad(0.2)
+        median = float(ang[hi // 2])
+        max_angle = min(median * 2.0, max_angle / 1.8)
+    return median
