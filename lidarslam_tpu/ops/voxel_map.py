@@ -1,0 +1,353 @@
+"""Rolling voxel-grid local map + bucket-index k-NN, sort-based and TPU-native.
+
+Replaces the reference's `RollingGrid` two-level `unordered_map` voxel hash
+(RollingGrid.cxx:117-442) *and* its nanoflann kd-trees (KDTreePCLAdaptor.h)
+with dense fixed-capacity arrays and XLA sorts:
+
+- The map is a set of <= capacity point slots, at most one per *leaf* cell
+  (leaf size = the reference's inner sampling grid), holding the same
+  attributes the reference keeps per voxel: point, intensity, time stamp,
+  frames-per-voxel count (moving-object filter), fixed flag.
+- **Insert** (`add_points`, semantics of RollingGrid::Add 160-318): existing
+  slots and incoming points are lexicographically sorted by leaf key with a
+  per-sampling-mode priority so the winning point of each leaf lands first in
+  its segment; segment reductions produce the updated count/any-new flags;
+  one more stable sort compacts winners back into the capacity slots.
+- **Roll** (Roll 117-157): shift the window by whole outer voxels, drop
+  points whose voxel leaves the window, rebase coordinates. The world
+  position of the window center ("origin") is tracked by the host in float64;
+  device arrays always store origin-relative float32 coordinates.
+- **Decay** (ClearOldPoints 325-350) and **submap extraction with
+  moving-object rejection + fallback** (BuildSubMapKdTree 362-442) are masked
+  dense ops.
+- **k-NN** replaces kd-tree queries with a bucket index: points sorted by a
+  coarse bucket key (bucket = bucket_factor * leaf, so a bucket holds at most
+  bucket_factor^3 leaves and the candidate gather can never overflow);
+  queries probe the (2r+1)^3 neighboring buckets via `searchsorted`, gather
+  candidates, and `top_k` the k nearest. Exact within the searched radius;
+  queries whose true neighbors lie beyond it see them as missing, which the
+  matcher's not-enough-neighbors / too-far gates absorb (the same role the
+  5 m MaxNeighborsDistance gate plays in the reference).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidarslam_tpu.config import MapConfig, SamplingMode
+
+_BIGKEY = np.int32(2**31 - 1)
+
+
+class VoxelMap(NamedTuple):
+    """Device state of one rolling map (coordinates are origin-relative)."""
+
+    xyz: jax.Array        # (M, 3) f32
+    intensity: jax.Array  # (M,) f32
+    time: jax.Array       # (M,) f32 — absolute stamp of last touch
+    count: jax.Array      # (M,) i32 — frames-per-voxel counter
+    fixed: jax.Array      # (M,) bool — immutable map points (label==1)
+    valid: jax.Array      # (M,) bool
+
+    @property
+    def n_points(self):
+        return jnp.sum(self.valid)
+
+    @classmethod
+    def empty(cls, cfg: MapConfig):
+        m = cfg.capacity
+        return cls(
+            xyz=jnp.zeros((m, 3), jnp.float32),
+            intensity=jnp.zeros((m,), jnp.float32),
+            time=jnp.zeros((m,), jnp.float32),
+            count=jnp.zeros((m,), jnp.int32),
+            fixed=jnp.zeros((m,), bool),
+            valid=jnp.zeros((m,), bool),
+        )
+
+
+def effective_resolution(cfg: MapConfig) -> float:
+    """Outer voxel edge, snapped to a whole number of leaves
+    (RollingGrid.cxx:73-78) so rolling preserves leaf alignment."""
+    return int(cfg.voxel_resolution / cfg.leaf_size) * cfg.leaf_size
+
+
+def half_extent(cfg: MapConfig) -> float:
+    return cfg.grid_size / 2.0 * effective_resolution(cfg)
+
+
+def _leaf_keys(xyz, valid, cfg: MapConfig):
+    """Two-part lexicographic leaf key (kx, kyz); invalid/out-of-window points
+    get (BIG, BIG). Split keys keep everything in int32 even for the finest
+    leaf grids (grid extent / 0.3 m per axis overflows a single int32 cube)."""
+    half = half_extent(cfg)
+    inv_leaf = 1.0 / cfg.leaf_size
+    li = jnp.floor((xyz + half) * inv_leaf).astype(jnp.int32)
+    n_leaf = int(math.ceil(2.0 * half / cfg.leaf_size)) + 1
+    inb = valid & jnp.all((li >= 0) & (li < n_leaf), axis=-1)
+    kx = jnp.where(inb, li[..., 0], _BIGKEY)
+    kyz = jnp.where(inb, li[..., 1] * n_leaf + li[..., 2], _BIGKEY)
+    return kx, kyz, inb
+
+
+@partial(jax.jit, static_argnames=("cfg", "fixed"))
+def add_points(
+    vmap_: VoxelMap,
+    new_xyz,
+    new_intensity,
+    new_time,
+    new_valid,
+    current_time,
+    cfg: MapConfig,
+    fixed: bool = False,
+) -> VoxelMap:
+    """Merge a batch of points into the map (RollingGrid::Add semantics).
+
+    One point per leaf survives, selected by `cfg.sampling`; fixed leaves are
+    never modified; each leaf touched by >=1 new point gets its
+    frames-per-voxel count bumped once and its stamp set to `current_time`.
+    """
+    M = vmap_.xyz.shape[0]
+    K = new_xyz.shape[0]
+    N = M + K
+
+    xyz = jnp.concatenate([vmap_.xyz, new_xyz.astype(jnp.float32)])
+    inten = jnp.concatenate([vmap_.intensity, new_intensity.astype(jnp.float32)])
+    tim = jnp.concatenate([vmap_.time, jnp.broadcast_to(new_time, (K,)).astype(jnp.float32)])
+    cnt = jnp.concatenate([vmap_.count, jnp.zeros((K,), jnp.int32)])
+    fix = jnp.concatenate([vmap_.fixed, jnp.full((K,), fixed)])
+    val = jnp.concatenate([vmap_.valid, new_valid])
+    is_new = jnp.arange(N) >= M
+
+    kx, kyz, inb = _leaf_keys(xyz, val, cfg)
+
+    # --- winner priority per sampling mode (ascending: smaller = wins) ---
+    order = jnp.arange(N, dtype=jnp.float32)
+    mode = cfg.sampling
+    if mode == SamplingMode.FIRST or mode == SamplingMode.CENTROID:
+        prio = order
+    elif mode == SamplingMode.LAST:
+        prio = -order
+    elif mode == SamplingMode.MAX_INTENSITY:
+        prio = -inten
+    elif mode == SamplingMode.CENTER_POINT:
+        half = half_extent(cfg)
+        li = jnp.floor((xyz + half) / cfg.leaf_size)
+        center = (li + 0.5) * cfg.leaf_size - half
+        prio = jnp.linalg.norm(xyz - center, axis=-1)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown sampling mode {mode}")
+    # existing fixed points always win their leaf (RollingGrid.cxx:218-219)
+    prio = jnp.where(fix & ~is_new, -jnp.inf, prio)
+
+    srt = jax.lax.sort(
+        (kx, kyz, prio, order, xyz[:, 0], xyz[:, 1], xyz[:, 2], inten, tim,
+         cnt.astype(jnp.float32), fix, is_new),
+        num_keys=4,
+    )
+    skx, skyz, _, sorder, sx, sy, sz, sint, stim, scnt, sfix, snew = srt
+    sxyz = jnp.stack([sx, sy, sz], axis=-1)
+    scnt = scnt.astype(jnp.int32)
+
+    key_ok = skx != _BIGKEY
+    first = key_ok & ~((skx == jnp.roll(skx, 1)) & (skyz == jnp.roll(skyz, 1)))
+    first = first.at[0].set(key_ok[0])
+
+    seg = jnp.cumsum(first) - 1  # segment id per sorted element (garbage where !key_ok)
+    seg = jnp.where(key_ok, seg, N - 1)
+
+    any_new = jax.ops.segment_max(snew.astype(jnp.int32), seg, num_segments=N)
+    old_cnt = jax.ops.segment_max(jnp.where(~snew, scnt, 0), seg, num_segments=N)
+    has_fixed_old = jax.ops.segment_max((sfix & ~snew).astype(jnp.int32), seg, num_segments=N)
+
+    if mode == SamplingMode.CENTROID:
+        nw = snew & key_ok
+        sum_new = jax.ops.segment_sum(sxyz * nw[:, None], seg, num_segments=N)
+        n_new = jax.ops.segment_sum(nw.astype(jnp.float32), seg, num_segments=N)
+        mean_new = sum_new / jnp.maximum(n_new, 1.0)[:, None]
+
+    # winner = first element of each segment
+    w_seg = seg
+    w_any_new = (any_new[w_seg] > 0) & first
+    w_fixed_old = (has_fixed_old[w_seg] > 0)
+    touched = w_any_new & ~w_fixed_old
+
+    out_xyz = sxyz
+    if mode == SamplingMode.CENTROID:
+        old_exists = ~snew  # winner slot is the old point when one exists (order prio)
+        combined = (sxyz * scnt[:, None] + mean_new[w_seg]) / (scnt[:, None] + 1.0)
+        out_xyz = jnp.where(
+            (touched & old_exists)[:, None], combined,
+            jnp.where((touched & snew)[:, None], mean_new[w_seg], sxyz))
+
+    out_time = jnp.where(touched, jnp.float32(current_time), stim)
+    out_fix = jnp.where(touched, fixed, sfix)
+    out_cnt = jnp.where(first, old_cnt[w_seg] + touched.astype(jnp.int32), scnt)
+
+    # --- compact winners into the first M slots (stable keeps key order) ---
+    not_winner = ~first
+    comp = jax.lax.sort(
+        (not_winner.astype(jnp.int32), out_xyz[:, 0], out_xyz[:, 1], out_xyz[:, 2],
+         sint, out_time, out_cnt.astype(jnp.float32), out_fix, first),
+        num_keys=1, is_stable=True,
+    )
+    _, cx, cy, cz, cint, ctim, ccnt, cfix, cfirst = comp
+    return VoxelMap(
+        xyz=jnp.stack([cx, cy, cz], axis=-1)[:M],
+        intensity=cint[:M],
+        time=ctim[:M],
+        count=ccnt.astype(jnp.int32)[:M],
+        fixed=cfix[:M],
+        valid=cfirst[:M],
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def roll(vmap_: VoxelMap, bbox_min, bbox_max, cfg: MapConfig):
+    """Shift the rolling window so [bbox_min, bbox_max] fits (Roll 117-157).
+
+    Returns (rolled map, voxel offset (3,) i32). The caller must advance its
+    float64 origin by `offset * effective_resolution`.
+    """
+    res = effective_resolution(cfg)
+    half = half_extent(cfg)
+    down = bbox_min - (-half)
+    up = bbox_max - half
+    offset = (up + down) / 2.0
+    offset = jnp.clip(offset, jnp.minimum(down, 0.0), jnp.maximum(up, 0.0))
+    vox_offset = jnp.round(offset / res).astype(jnp.int32)
+
+    vi = jnp.floor((vmap_.xyz + half) / res).astype(jnp.int32)
+    vi_new = vi - vox_offset
+    keep = vmap_.valid & jnp.all((vi_new >= 0) & (vi_new < cfg.grid_size), axis=-1)
+    new_xyz = vmap_.xyz - vox_offset.astype(jnp.float32) * res
+    return vmap_._replace(xyz=new_xyz, valid=keep), vox_offset
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def clear_old_points(vmap_: VoxelMap, current_time, cfg: MapConfig) -> VoxelMap:
+    """Drop removable points older than decaying_threshold (ClearOldPoints)."""
+    keep = vmap_.valid & (vmap_.fixed | (current_time - vmap_.time <= cfg.decaying_threshold))
+    return vmap_._replace(valid=keep)
+
+
+# -----------------------------------------------------------------------------
+#   Bucket index (kd-tree replacement)
+# -----------------------------------------------------------------------------
+
+class PointIndex(NamedTuple):
+    """Points sorted by coarse bucket key, ready for neighbor queries."""
+
+    keys: jax.Array   # (N,) i32 sorted bucket keys (BIG for excluded)
+    xyz: jax.Array    # (N, 3) f32 sorted accordingly
+    ring: jax.Array   # (N,) i32 laser ring (0 where unknown)
+    n: jax.Array      # () i32 number of indexed points
+
+
+def _bucket_params(half: float, bucket_size: float):
+    nb = int(math.ceil(2.0 * half / bucket_size)) + 1
+    return nb
+
+
+def build_point_index(xyz, valid, half: float, bucket_size: float, ring=None) -> PointIndex:
+    """Sort points by bucket key. `half`/`bucket_size` must be static."""
+    nb = _bucket_params(half, bucket_size)
+    bi = jnp.floor((xyz + half) / bucket_size).astype(jnp.int32)
+    inb = valid & jnp.all((bi >= 0) & (bi < nb), axis=-1)
+    key = jnp.where(inb, (bi[..., 0] * nb + bi[..., 1]) * nb + bi[..., 2], _BIGKEY)
+    if ring is None:
+        ring = jnp.zeros(xyz.shape[0], jnp.int32)
+    skey, sx, sy, sz, sring = jax.lax.sort(
+        (key, xyz[:, 0], xyz[:, 1], xyz[:, 2], ring.astype(jnp.int32)), num_keys=1)
+    return PointIndex(keys=skey, xyz=jnp.stack([sx, sy, sz], -1), ring=sring,
+                      n=jnp.sum(inb).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_submap_index(vmap_: VoxelMap, bbox_min, bbox_max, min_nb_points,
+                         cfg: MapConfig) -> PointIndex:
+    """Submap = map points in outer voxels intersecting the bbox, with
+    moving-object rejection and automatic fallback (BuildSubMapKdTree
+    362-442), indexed for neighbor queries."""
+    res = effective_resolution(cfg)
+    half = half_extent(cfg)
+    lo = jnp.maximum(jnp.floor((bbox_min + half) / res), 0.0)
+    hi = jnp.minimum(jnp.floor((bbox_max + half) / res), cfg.grid_size - 1)
+    vi = jnp.floor((vmap_.xyz + half) / res)
+    in_bbox = vmap_.valid & jnp.all((vi >= lo) & (vi <= hi), axis=-1)
+
+    if cfg.min_frames_per_voxel > 1:
+        still = vmap_.count >= cfg.min_frames_per_voxel
+        clean = in_bbox & (still | vmap_.fixed)
+        # fall back to the whole bbox when the filter is disabled
+        # (min_nb_points < 0) or too strong (RollingGrid.cxx:414-435)
+        use_all = (min_nb_points < 0) | (jnp.sum(clean) < min_nb_points)
+        selected = jnp.where(use_all, in_bbox, clean)
+    else:
+        selected = in_bbox
+
+    return build_point_index(vmap_.xyz, selected, half,
+                             cfg.bucket_factor * cfg.leaf_size)
+
+
+def _neighbor_cells(rings: int):
+    r = range(-rings, rings + 1)
+    return [(dx, dy, dz) for dx in r for dy in r for dz in r]
+
+
+@partial(jax.jit, static_argnames=("k", "half", "bucket_size", "search_rings",
+                                   "bucket_capacity", "chunk"))
+def knn_query(index: PointIndex, queries, k: int, half: float, bucket_size: float,
+              search_rings: int = 1, bucket_capacity: int = 64, chunk: int = 512):
+    """k nearest indexed points of each query within the searched bucket ring.
+
+    Returns (sq_dists (Q, k) — +inf for missing, idx (Q, k) into the sorted
+    index arrays). Queries are processed in chunks to bound the candidate
+    matrix ((chunk, cells*cap)) living in VMEM/registers.
+    """
+    nb = _bucket_params(half, bucket_size)
+    cells = np.asarray(_neighbor_cells(search_rings), np.int32)  # (C, 3)
+    Q = queries.shape[0]
+    pad = (-Q) % chunk
+    qpad = jnp.concatenate([queries, jnp.zeros((pad, 3), queries.dtype)]) if pad else queries
+
+    def one_chunk(qc):
+        bi = jnp.floor((qc + half) / bucket_size).astype(jnp.int32)  # (q, 3)
+        cb = bi[:, None, :] + cells[None, :, :]                      # (q, C, 3)
+        cell_ok = jnp.all((cb >= 0) & (cb < nb), axis=-1)
+        ckey = (cb[..., 0] * nb + cb[..., 1]) * nb + cb[..., 2]
+        ckey = jnp.where(cell_ok, ckey, -1)
+        start = jnp.searchsorted(index.keys, ckey)                   # (q, C)
+        end = jnp.searchsorted(index.keys, ckey, side="right")
+        span = jnp.arange(bucket_capacity, dtype=jnp.int32)
+        cand = start[..., None] + span                               # (q, C, cap)
+        cand_ok = cand < end[..., None]
+        cand = jnp.clip(cand, 0, index.xyz.shape[0] - 1)
+        cflat = cand.reshape(qc.shape[0], -1)
+        okflat = cand_ok.reshape(qc.shape[0], -1)
+        nbr = index.xyz[cflat]                                       # (q, CC, 3)
+        d2 = jnp.sum((nbr - qc[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(okflat, d2, jnp.inf)
+        neg, sel = jax.lax.top_k(-d2, k)
+        return -neg, jnp.take_along_axis(cflat, sel, axis=1)
+
+    nchunks = (Q + pad) // chunk
+    d2s, idxs = jax.lax.map(one_chunk, qpad.reshape(nchunks, chunk, 3))
+    return d2s.reshape(-1, k)[:Q], idxs.reshape(-1, k)[:Q]
+
+
+def gather_valid_points(vmap_: VoxelMap, clean: bool, cfg: MapConfig):
+    """Host-side extraction of stored points (RollingGrid::Get 95-114).
+
+    Returns numpy (n, 3) xyz plus (intensity, time, fixed) arrays."""
+    valid = np.asarray(vmap_.valid)
+    if clean and cfg.min_frames_per_voxel > 1:
+        valid = valid & (np.asarray(vmap_.count) > cfg.min_frames_per_voxel)
+    return (np.asarray(vmap_.xyz)[valid], np.asarray(vmap_.intensity)[valid],
+            np.asarray(vmap_.time)[valid], np.asarray(vmap_.fixed)[valid])

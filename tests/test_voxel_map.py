@@ -1,0 +1,202 @@
+"""Voxel map insert/roll/decay/submap/k-NN vs numpy dict-grid + brute force."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lidarslam_tpu.config import MapConfig, SamplingMode
+from lidarslam_tpu.ops import voxel_map as vm
+
+CFG = MapConfig(grid_size=10, voxel_resolution=2.0, leaf_size=0.5,
+                capacity=4096, submap_capacity=4096)
+HALF = vm.half_extent(CFG)  # 10 m
+
+
+def _add(m, pts, inten=None, t=0.0, cfg=CFG, fixed=False):
+    pts = np.asarray(pts, np.float32)
+    k = len(pts)
+    inten = np.zeros(k, np.float32) if inten is None else np.asarray(inten, np.float32)
+    return vm.add_points(m, jnp.asarray(pts), jnp.asarray(inten),
+                         jnp.float32(t), jnp.ones(k, bool), jnp.float32(t), cfg, fixed)
+
+
+def _points(m):
+    v = np.asarray(m.valid)
+    return np.asarray(m.xyz)[v]
+
+
+def test_insert_dedup_one_per_leaf():
+    m = VoxelMapEmpty()
+    # 5 points in the same 0.5 m leaf + 2 in other leaves
+    pts = [[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [0.3, 0.1, 0.2], [0.12, 0.34, 0.4],
+           [0.05, 0.05, 0.05], [1.1, 0.0, 0.0], [-3.2, 4.0, 0.7]]
+    m = _add(m, pts)
+    assert int(m.n_points) == 3
+
+
+def VoxelMapEmpty(cfg=CFG):
+    return vm.VoxelMap.empty(cfg)
+
+
+def test_sampling_modes():
+    base = [[0.1, 0.1, 0.1]]
+    newer = [[0.4, 0.4, 0.4]]
+    # FIRST keeps the old point
+    cfg_first = _cfg(SamplingMode.FIRST)
+    m = _add(VoxelMapEmpty(cfg_first), base, cfg=cfg_first)
+    m = _add(m, newer, t=1.0, cfg=cfg_first)
+    np.testing.assert_allclose(_points(m), base, atol=1e-6)
+    # LAST keeps the new point
+    cfg_last = _cfg(SamplingMode.LAST)
+    m = _add(VoxelMapEmpty(cfg_last), base, cfg=cfg_last)
+    m = _add(m, newer, t=1.0, cfg=cfg_last)
+    np.testing.assert_allclose(_points(m), newer, atol=1e-6)
+    # MAX_INTENSITY keeps brightest
+    cfg_mi = _cfg(SamplingMode.MAX_INTENSITY)
+    m = _add(VoxelMapEmpty(cfg_mi), base, inten=[5.0], cfg=cfg_mi)
+    m = _add(m, newer, inten=[50.0], t=1.0, cfg=cfg_mi)
+    np.testing.assert_allclose(_points(m), newer, atol=1e-6)
+    m = _add(m, [[0.2, 0.2, 0.2]], inten=[10.0], t=2.0, cfg=cfg_mi)
+    np.testing.assert_allclose(_points(m), newer, atol=1e-6)
+    # CENTER_POINT keeps closest to leaf center (leaf [0,0.5)^3 center 0.25)
+    cfg_cp = _cfg(SamplingMode.CENTER_POINT)
+    m = _add(VoxelMapEmpty(cfg_cp), [[0.05, 0.05, 0.05]], cfg=cfg_cp)
+    m = _add(m, [[0.26, 0.24, 0.25]], t=1.0, cfg=cfg_cp)
+    np.testing.assert_allclose(_points(m), [[0.26, 0.24, 0.25]], atol=1e-6)
+    # CENTROID averages (old*count + mean(new)) / (count+1)
+    cfg_ct = _cfg(SamplingMode.CENTROID)
+    m = _add(VoxelMapEmpty(cfg_ct), [[0.1, 0.1, 0.1]], cfg=cfg_ct)
+    m = _add(m, [[0.3, 0.3, 0.3], [0.2, 0.2, 0.4]], t=1.0, cfg=cfg_ct)
+    want = (np.array([0.1, 0.1, 0.1]) * 1 + np.array([0.25, 0.25, 0.35])) / 2
+    np.testing.assert_allclose(_points(m), [want], atol=1e-5)
+
+
+def _cfg(mode):
+    import dataclasses
+    return dataclasses.replace(CFG, sampling=mode)
+
+
+def test_count_increments_once_per_add():
+    m = VoxelMapEmpty()
+    m = _add(m, [[0.1, 0.1, 0.1], [0.2, 0.2, 0.2]], t=0.0)  # same leaf, one add
+    v = np.asarray(m.valid)
+    assert np.asarray(m.count)[v].tolist() == [1]
+    m = _add(m, [[0.3, 0.3, 0.3]], t=1.0)
+    v = np.asarray(m.valid)
+    assert np.asarray(m.count)[v].tolist() == [2]
+    m = _add(m, [[5.0, 5.0, 5.0]], t=2.0)
+    v = np.asarray(m.valid)
+    assert sorted(np.asarray(m.count)[v].tolist()) == [1, 2]
+
+
+def test_fixed_points_immutable():
+    cfg = _cfg(SamplingMode.LAST)
+    m = _add(VoxelMapEmpty(cfg), [[0.1, 0.1, 0.1]], cfg=cfg, fixed=True)
+    m2 = _add(m, [[0.4, 0.4, 0.4]], t=5.0, cfg=cfg)
+    np.testing.assert_allclose(_points(m2), [[0.1, 0.1, 0.1]], atol=1e-6)
+    v = np.asarray(m2.valid)
+    assert np.asarray(m2.count)[v].tolist() == [1]  # not bumped
+    assert np.asarray(m2.time)[v].tolist() == [0.0]  # not refreshed
+
+
+def test_roll_drops_and_rebases():
+    m = VoxelMapEmpty()
+    m = _add(m, [[-9.0, 0.0, 0.0], [9.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    # new frame bbox sticks out to +14 -> window must roll +x
+    m2, off = vm.roll(m, jnp.asarray([12.0, -1.0, -1.0]), jnp.asarray([14.0, 1.0, 1.0]), CFG)
+    off = np.asarray(off)
+    assert off[0] > 0 and off[1] == 0 and off[2] == 0
+    pts = _points(m2)
+    # all remaining points shifted by -off*res and within window
+    assert np.all(np.abs(pts) <= HALF + 1e-5)
+    res = vm.effective_resolution(CFG)
+    # the -9 point must have been dropped (out of rolled window)
+    assert len(pts) == 2
+    orig = pts + off * res
+    assert any(np.allclose(o, [9.0, 0.0, 0.0], atol=1e-5) for o in orig)
+    assert any(np.allclose(o, [0.0, 0.0, 0.0], atol=1e-5) for o in orig)
+
+
+def test_decay():
+    import dataclasses
+    cfg = dataclasses.replace(CFG, decaying_threshold=10.0)
+    m = VoxelMapEmpty(cfg)
+    m = _add(m, [[0.1, 0.1, 0.1]], t=0.0, cfg=cfg)
+    m = _add(m, [[3.0, 3.0, 3.0]], t=8.0, cfg=cfg)
+    m = vm.clear_old_points(m, jnp.float32(12.0), cfg)
+    assert int(m.n_points) == 1
+    np.testing.assert_allclose(_points(m), [[3.0, 3.0, 3.0]], atol=1e-6)
+
+
+def test_submap_bbox_and_moving_filter():
+    import dataclasses
+    cfg = dataclasses.replace(CFG, min_frames_per_voxel=2)
+    m = VoxelMapEmpty(cfg)
+    # stable point seen twice, moving point seen once, far point
+    m = _add(m, [[1.0, 1.0, 0.0], [2.0, 2.0, 0.0], [8.0, 8.0, 0.0]], t=0.0, cfg=cfg)
+    m = _add(m, [[1.1, 1.1, 0.0]], t=1.0, cfg=cfg)  # same leaf as stable? 1.0 vs 1.1 -> both in [1.0,1.5) leaf
+    idx = vm.extract_submap_index(m, jnp.asarray([-3.0, -3.0, -3.0]),
+                                  jnp.asarray([4.0, 4.0, 3.0]), jnp.int32(1), cfg)
+    n = int(idx.n)
+    got = np.asarray(idx.xyz)[:n]
+    # only the count>=2 leaf inside bbox survives
+    assert n == 1
+    np.testing.assert_allclose(got, [[1.0, 1.0, 0.0]], atol=1e-5)
+    # fallback: requiring more points than the clean set has -> filter removed
+    idx2 = vm.extract_submap_index(m, jnp.asarray([-3.0, -3.0, -3.0]),
+                                   jnp.asarray([4.0, 4.0, 3.0]), jnp.int32(2), cfg)
+    assert int(idx2.n) == 2
+
+
+def test_knn_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-8, 8, (3000, 3)).astype(np.float32)
+    m = VoxelMapEmpty()
+    m = _add(m, pts)
+    stored = _points(m)
+
+    queries = rng.uniform(-7, 7, (256, 3)).astype(np.float32)
+    idx = vm.extract_submap_index(m, jnp.asarray([-9.0] * 3), jnp.asarray([9.0] * 3),
+                                  jnp.int32(-1), CFG)
+    bucket = CFG.bucket_factor * CFG.leaf_size
+    d2, nbr_idx = vm.knn_query(idx, jnp.asarray(queries), 5, HALF, bucket,
+                               search_rings=CFG.search_rings, chunk=128)
+    d2 = np.asarray(d2)
+    nbr_idx = np.asarray(nbr_idx)
+    cover = CFG.search_rings * bucket  # guaranteed search radius
+
+    for q in range(256):
+        bd = np.sum((stored - queries[q]) ** 2, axis=1)
+        want = np.sort(bd)[:5]
+        got = d2[q]
+        for j in range(5):
+            if want[j] <= cover**2:  # within guaranteed coverage: must be exact
+                np.testing.assert_allclose(got[j], want[j], rtol=1e-4, atol=1e-5)
+        # returned indices consistent with distances
+        sx = np.asarray(idx.xyz)
+        for j in range(5):
+            if np.isfinite(got[j]):
+                dd = np.sum((sx[nbr_idx[q, j]] - queries[q]) ** 2)
+                np.testing.assert_allclose(dd, got[j], rtol=1e-4, atol=1e-6)
+
+
+def test_knn_missing_neighbors_are_inf():
+    m = VoxelMapEmpty()
+    m = _add(m, [[0.0, 0.0, 0.0], [0.6, 0.0, 0.0]])
+    idx = vm.extract_submap_index(m, jnp.asarray([-9.0] * 3), jnp.asarray([9.0] * 3),
+                                  jnp.int32(-1), CFG)
+    bucket = CFG.bucket_factor * CFG.leaf_size
+    d2, _ = vm.knn_query(idx, jnp.asarray([[0.1, 0.0, 0.0]], np.float32), 5, HALF,
+                         bucket, search_rings=1, chunk=32)
+    d2 = np.asarray(d2)[0]
+    assert np.isfinite(d2[0]) and np.isfinite(d2[1])
+    assert np.all(np.isinf(d2[2:]))
+
+
+def test_capacity_overflow_keeps_limit():
+    import dataclasses
+    cfg = dataclasses.replace(CFG, capacity=64)
+    m = VoxelMapEmpty(cfg)
+    rng = np.random.default_rng(1)
+    m = _add(m, rng.uniform(-8, 8, (500, 3)).astype(np.float32), cfg=cfg)
+    assert int(m.n_points) <= 64
