@@ -1,0 +1,103 @@
+"""Match -> optimize ICP loops, fully jitted.
+
+The reference runs `EgoMotionICPMaxIter` / `LocalizationICPMaxIter` rounds of
+(KeypointsMatcher::BuildMatchResiduals then LocalOptimizer::Solve) with a
+linearly shrinking Tukey saturation distance and an early exit when LM makes
+no progress (Slam.cxx:892-954, 1071-1156). Here the whole loop — bucket-index
+k-NN, batched PCA matching, robust LM — is one compiled function: the ICP
+rounds are statically unrolled (the saturation schedule is compile-time) and
+the early-exit / minimum-match guards become `where`-gated state updates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from lidarslam_tpu.config import Keypoint, MatchingConfig, SolverConfig
+from lidarslam_tpu.ops import matcher, solver
+from lidarslam_tpu.ops.voxel_map import PointIndex
+
+
+class ICPInputs(NamedTuple):
+    """Per-keypoint-type matching inputs (entries may be None when unused).
+
+    The (half, bucket, rings) index geometry is passed separately as a static
+    argument (`geoms`) since it shapes the compiled kernels."""
+
+    kp_xyz: tuple       # (Q, 3) per type, BASE coordinates (map-origin-relative target)
+    kp_valid: tuple     # (Q,) per type
+    index: tuple        # PointIndex per type
+
+
+class ICPResult(NamedTuple):
+    pose: jax.Array             # (6,) optimized pose
+    failed: jax.Array           # () bool — too few matches at some round
+    total_matches: jax.Array    # () int32 from the last executed matching
+    match_counts: jax.Array     # (3,) int32 per keypoint type
+    H: jax.Array                # (6, 6) robust Hessian at the last solve
+    statuses: tuple             # (Q,) uint8 per type — last-round debug codes
+    weights: tuple              # (Q,) f32 per type
+
+
+def icp_register(
+    inputs: ICPInputs,
+    types: Sequence[Keypoint],
+    pose0,
+    params: MatchingConfig,
+    solver_cfg: SolverConfig,
+    icp_iters: int,
+    lm_max_iter: int,
+    min_matches: int,
+    geoms: Sequence,
+) -> ICPResult:
+    """Run the full ICP-LM loop. All structure args must be static."""
+    match_fns = {
+        Keypoint.EDGE: matcher.match_edges,
+        Keypoint.PLANE: matcher.match_planes,
+        Keypoint.BLOB: matcher.match_blobs,
+    }
+
+    pose = jnp.asarray(pose0, jnp.float32)
+    active = jnp.ones((), bool)
+    failed = jnp.zeros((), bool)
+    total = jnp.zeros((), jnp.int32)
+    counts = jnp.zeros((3,), jnp.int32)
+    H = jnp.zeros((6, 6))
+    statuses = tuple(jnp.zeros(inputs.kp_xyz[int(t)].shape[0], jnp.uint8) for t in types)
+    weights = tuple(jnp.zeros(inputs.kp_xyz[int(t)].shape[0], jnp.float32) for t in types)
+
+    for it in range(icp_iters):
+        ratio = it / max(icp_iters - 1, 1)
+        sat = (1.0 - ratio) * params.init_saturation_distance + ratio * params.final_saturation_distance
+
+        blocks = []
+        for t in types:
+            ti = int(t)
+            blocks.append(match_fns[t](inputs.kp_xyz[ti], inputs.kp_valid[ti],
+                                       inputs.index[ti], pose, params, geoms[ti]))
+
+        it_counts = jnp.stack([b.n_matches.astype(jnp.int32) for b in blocks])
+        it_total = jnp.sum(it_counts)
+        enough = it_total >= min_matches
+
+        res = solver.robust_lm(blocks, pose, sat, solver_cfg, lm_max_iter)
+
+        step_ok = active & enough
+        pose = jnp.where(step_ok, res.pose, pose)
+        H = jnp.where(step_ok, res.H, H)
+        total = jnp.where(active, it_total, total)
+        full_counts = jnp.zeros((3,), jnp.int32)
+        for i, t in enumerate(types):
+            full_counts = full_counts.at[int(t)].set(it_counts[i])
+        counts = jnp.where(active, full_counts, counts)
+        statuses = tuple(jnp.where(active, b.status, s) for b, s in zip(blocks, statuses))
+        weights = tuple(jnp.where(active, b.weight, w) for b, w in zip(blocks, weights))
+        failed = failed | (active & ~enough)
+        converged = res.n_success == 1
+        active = step_ok & ~converged
+
+    return ICPResult(pose=pose, failed=failed, total_matches=total,
+                     match_counts=counts, H=H, statuses=statuses, weights=weights)

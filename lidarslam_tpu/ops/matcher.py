@@ -1,0 +1,207 @@
+"""Batched keypoint -> map-model matching.
+
+TPU-native re-design of KeypointsMatcher (KeypointsMatcher.cxx:33-480): the
+per-keypoint OpenMP loop with kd-tree queries becomes one fused batched
+pipeline per keypoint type — bucket-index k-NN, masked neighborhood PCA, the
+full set of validity gates, and Mahalanobis residual parameters, all
+vectorized over the fixed keypoint capacity:
+
+- edges, localization mode: 2-point RANSAC line neighbors
+  (GetRansacLineNeighbors 408-480) evaluated as a dense (k-1)x(k-1) inlier
+  matrix; line model A = I - n n^T (BuildLineMatch 106-187);
+- edges, ego-motion mode: one-neighbor-per-ring filter excluding the closest
+  point's own ring, rings limited to +-4 of it
+  (GetPerRingLineNeighbors 349-405);
+- planes: planarity gate l1/l2 >= threshold, model A = n n^T
+  (BuildPlaneMatch 190-273);
+- blobs: ellipsoid model A = Cov^(-1/2) (BuildBlobMatch 276-346).
+
+Each match yields (A, P, X, weight, status) where the residual used by the
+solver is  w * A @ (R X + t - P), with fit-quality weight
+w = 1 - sqrt(mse)/max_model_error (1.0 for blobs) and a MatchStatus rejection
+code for the debug/confidence surface.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lidarslam_tpu.config import MatchStatus, MatchingConfig
+from lidarslam_tpu.core import pca, se3
+from lidarslam_tpu.ops.voxel_map import PointIndex, knn_query
+
+
+class Matches(NamedTuple):
+    """Per-keypoint match parameters (slots align with the keypoint arrays)."""
+
+    A: jax.Array        # (Q, 3, 3) Mahalanobis square-root information
+    P: jax.Array        # (Q, 3) model position (neighborhood mean)
+    X: jax.Array        # (Q, 3) keypoint in BASE coordinates
+    weight: jax.Array   # (Q,) fit-quality weight
+    status: jax.Array   # (Q,) uint8 MatchStatus
+    valid: jax.Array    # (Q,) bool == (status == SUCCESS)
+
+    @property
+    def n_matches(self):
+        return jnp.sum(self.valid)
+
+
+def _finish(A, P, X, weight, ok, status):
+    status = jnp.where(ok, MatchStatus.SUCCESS, status).astype(jnp.uint8)
+    z = ok[:, None]
+    return Matches(
+        A=jnp.where(ok[:, None, None], A, 0.0),
+        P=jnp.where(z, P, 0.0),
+        X=X,
+        weight=jnp.where(ok, weight, 0.0),
+        status=status,
+        valid=ok,
+    )
+
+
+def _knn(index: PointIndex, world, k, params: MatchingConfig, geom):
+    half, bucket, rings = geom
+    d2, idx = knn_query(index, world, k, half, bucket, search_rings=rings)
+    nbr = index.xyz[idx]                       # (Q, k, 3)
+    found = jnp.isfinite(d2)
+    return d2, idx, nbr, found
+
+
+def match_planes(kp_xyz, kp_valid, index: PointIndex, pose, params: MatchingConfig, geom):
+    """Point-to-plane matches (BuildPlaneMatch semantics)."""
+    k = params.plane_nb_neighbors
+    world = se3.japply_pose(pose, kp_xyz)
+    d2, _, nbr, found = _knn(index, world, k, params, geom)
+
+    n_found = jnp.sum(found, axis=1)
+    enough = kp_valid & (n_found >= k)
+    # farthest of the k must be close enough (KeypointsMatcher.cxx:217)
+    near = jnp.where(found, d2, 0.0).max(axis=1) <= params.max_neighbors_distance**2
+
+    mean, cov, _ = pca.masked_mean_and_cov(nbr, found)
+    lam, V = pca.eigh_3x3(cov)
+    planar = lam[:, 1] >= params.planarity_threshold * jnp.maximum(lam[:, 2], 1e-30)
+    normal = V[:, :, 0]
+    A = normal[:, :, None] * normal[:, None, :]
+    mse = lam[:, 0]
+    mse_ok = mse < params.plane_max_model_error**2
+    finite = jnp.all(jnp.isfinite(A), axis=(1, 2)) & (lam[:, 2] > 1e-20)
+
+    ok = enough & near & planar & mse_ok & finite
+    weight = jnp.where(mse <= 1e-6, 1.0, 1.0 - jnp.sqrt(jnp.maximum(mse, 0.0)) / params.plane_max_model_error)
+
+    status = _status_chain(kp_valid, enough, near, [(planar, MatchStatus.BAD_PCA_STRUCTURE),
+                                                    (finite, MatchStatus.INVALID_NUMERICAL),
+                                                    (mse_ok, MatchStatus.MSE_TOO_LARGE)])
+    return _finish(A, mean, kp_xyz, weight, ok, status)
+
+
+def match_edges(kp_xyz, kp_valid, index: PointIndex, pose, params: MatchingConfig, geom):
+    """Point-to-line matches; neighbor filter per params.single_edge_per_ring."""
+    k = params.edge_nb_neighbors
+    world = se3.japply_pose(pose, kp_xyz)
+    d2, idx, nbr, found = _knn(index, world, k, params, geom)
+
+    if params.single_edge_per_ring:
+        sel = _per_ring_filter(index.ring[idx], found)
+    else:
+        sel = _ransac_line_filter(nbr, found, params.edge_max_model_error)
+
+    n_sel = jnp.sum(sel, axis=1)
+    enough = kp_valid & (n_sel >= params.edge_min_nb_neighbors)
+    far_sel = jnp.where(sel, d2, 0.0).max(axis=1)
+    near = far_sel <= params.max_neighbors_distance**2
+
+    mean, cov, _ = pca.masked_mean_and_cov(nbr, sel)
+    lam, V = pca.eigh_3x3(cov)
+    n = V[:, :, 2]                              # line direction
+    A = jnp.eye(3) - n[:, :, None] * n[:, None, :]
+    mse = lam[:, 0] + lam[:, 1]
+    mse_ok = mse < params.edge_max_model_error**2
+    finite = jnp.all(jnp.isfinite(A), axis=(1, 2)) & (lam[:, 2] > 1e-20)
+
+    ok = enough & near & mse_ok & finite
+    weight = jnp.where(mse <= 1e-6, 1.0, 1.0 - jnp.sqrt(jnp.maximum(mse, 0.0)) / params.edge_max_model_error)
+    status = _status_chain(kp_valid, enough, near, [(finite, MatchStatus.INVALID_NUMERICAL),
+                                                    (mse_ok, MatchStatus.MSE_TOO_LARGE)])
+    return _finish(A, mean, kp_xyz, weight, ok, status)
+
+
+def match_blobs(kp_xyz, kp_valid, index: PointIndex, pose, params: MatchingConfig, geom):
+    """Point-to-ellipsoid matches (BuildBlobMatch semantics)."""
+    k = params.blob_nb_neighbors
+    world = se3.japply_pose(pose, kp_xyz)
+    d2, _, nbr, found = _knn(index, world, k, params, geom)
+
+    n_found = jnp.sum(found, axis=1)
+    enough = kp_valid & (n_found >= k)
+    near = jnp.where(found, d2, 0.0).max(axis=1) <= params.max_neighbors_distance**2
+
+    mean, cov, _ = pca.masked_mean_and_cov(nbr, found)
+    lam, V = pca.eigh_3x3(cov)
+    pca_ok = lam[:, 0] > 1e-12
+    inv_sqrt = jax.lax.rsqrt(jnp.maximum(lam, 1e-12))
+    A = jnp.einsum("qij,qj,qkj->qik", V, inv_sqrt, V)
+    finite = jnp.all(jnp.isfinite(A), axis=(1, 2))
+
+    ok = enough & near & pca_ok & finite
+    weight = jnp.ones_like(d2[:, 0])
+    status = _status_chain(kp_valid, enough, near, [(pca_ok, MatchStatus.BAD_PCA_STRUCTURE),
+                                                    (finite, MatchStatus.INVALID_NUMERICAL)])
+    return _finish(A, mean, kp_xyz, weight, ok, status)
+
+
+def _per_ring_filter(rings, found):
+    """One neighbor per ring, the closest ring excluded, rings beyond +-4 of
+    the closest excluded (GetPerRingLineNeighbors 349-405). Neighbors arrive
+    in ascending-distance order from top_k."""
+    k = rings.shape[1]
+    r0 = rings[:, 0]
+    allowed = found & (jnp.abs(rings - r0[:, None]) <= 4) & (rings != r0[:, None])
+    # first occurrence of each ring among allowed neighbors
+    same_ring_before = (rings[:, :, None] == rings[:, None, :]) & \
+        (jnp.arange(k)[None, :] < jnp.arange(k)[:, None])[None, :, :]
+    taken = jnp.any(same_ring_before & allowed[:, None, :], axis=2)
+    return allowed & ~taken
+
+
+def _ransac_line_filter(nbr, found, max_dist_inlier):
+    """2-point RANSAC around the closest neighbor
+    (GetRansacLineNeighbors 408-480): lines (P1, Pi) for i>=1 score inliers
+    among candidates j>=1; keep the best line's inliers plus P1."""
+    Q, k, _ = nbr.shape
+    p1 = nbr[:, 0:1, :]
+    dirs = nbr[:, 1:, :] - p1                              # (Q, k-1, 3)
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    rel = nbr[:, 1:, :] - p1                               # candidates j>=1
+    # inlier[i, j]: candidate j fits line i (candidate j == i counts itself)
+    cr = jnp.cross(rel[:, None, :, :], dirs[:, :, None, :])
+    d2l = jnp.sum(cr * cr, axis=-1)                        # (Q, k-1 lines, k-1 cands)
+    self_pair = jnp.eye(k - 1, dtype=bool)[None]
+    inlier = (self_pair | (d2l < max_dist_inlier**2)) & found[:, None, 1:]
+    line_ok = found[:, 1:]
+    scores = jnp.where(line_ok, jnp.sum(inlier, axis=2), -1)
+    best = jnp.argmax(scores, axis=1)
+    best_inliers = jnp.take_along_axis(inlier, best[:, None, None], axis=1)[:, 0, :]
+    sel = jnp.concatenate([found[:, 0:1], best_inliers], axis=1)
+    return sel & found
+
+
+def _status_chain(kp_valid, enough, near, gates):
+    """Rejection codes with the reference's precedence order."""
+    status = jnp.full(kp_valid.shape, int(MatchStatus.UNKNOWN), jnp.uint8)
+    # applied in reverse so earlier gates take precedence
+    for gate, code in reversed(gates):
+        status = jnp.where(~gate, int(code), status)
+    status = jnp.where(~near, int(MatchStatus.NEIGHBORS_TOO_FAR), status)
+    status = jnp.where(~enough, int(MatchStatus.NOT_ENOUGH_NEIGHBORS), status)
+    status = jnp.where(~kp_valid, int(MatchStatus.UNKNOWN), status)
+    return status
+
+
+def rejection_histogram(matches: Matches):
+    """Counts per MatchStatus (MatchingResults::RejectionsHistogram parity)."""
+    return jnp.bincount(matches.status.astype(jnp.int32), length=int(MatchStatus.UNKNOWN) + 1)

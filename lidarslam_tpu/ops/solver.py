@@ -1,0 +1,158 @@
+"""Batched robust Levenberg-Marquardt registration solver.
+
+Replaces Ceres (LocalOptimizer.cxx:74-140 + CeresCostFunctions.h:105-152)
+with an explicit 6-DoF [x,y,z,rX,rY,rZ] solver built for the TPU:
+
+- residuals  e_i = A_i (R(rpy) X_i + t - P_i)  with analytic 3x6 Jacobians
+  (dR/d(rpy) in the reference's Rz·Ry·Rx convention),
+- Tukey robust loss at scale `saturation` applied as IRLS weights
+  rho'(s) = (1 - s/a^2)^2 (the exact derivative of Ceres' TukeyLoss, so the
+  normal equations match Ceres' robustified Gauss-Newton), scaled by the
+  per-match fit-quality weight (ScaledLoss, KeypointsMatcher.cxx:90-101),
+- normal equations H = sum w J^T J (6x6), g = sum w J^T e reduced over all
+  matches in one batched contraction — the shard axis for multi-chip psum,
+- LM damping loop in `lax.while_loop`, termination on Ceres-style relative
+  function tolerance; `n_successful_steps` starts at 1 (the initial
+  evaluation) so the caller can reproduce the reference's ICP early exit on
+  `num_successful_steps == 1` (Slam.cxx:950, 1151),
+- pose covariance = pinv of the robust Gauss-Newton Hessian, matching
+  Ceres' DENSE_SVD covariance with apply_loss_function=true
+  (LocalOptimizer.cxx:112-140).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from lidarslam_tpu.config import SolverConfig
+from lidarslam_tpu.core import se3
+from lidarslam_tpu.ops.matcher import Matches
+
+
+def tukey_rho(s, a):
+    """Ceres TukeyLoss on squared residual s (KeypointsMatcher.cxx:85-89)."""
+    a2 = a * a
+    u = jnp.clip(1.0 - s / a2, 0.0, 1.0)
+    return a2 / 3.0 * (1.0 - u * u * u)
+
+
+def tukey_weight(s, a):
+    """d rho / d s — the IRLS weight."""
+    u = jnp.clip(1.0 - s / (a * a), 0.0, 1.0)
+    return u * u
+
+
+def rotation_derivatives(rpy):
+    """dR/d(roll, pitch, yaw) for R = Rz(y) Ry(p) Rx(r), each (3, 3)."""
+    r, p, y = rpy[0], rpy[1], rpy[2]
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    cp, sp = jnp.cos(p), jnp.sin(p)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    Rx = jnp.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = jnp.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rz = jnp.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    dRx = jnp.array([[0, 0, 0], [0, -sr, -cr], [0, cr, -sr]])
+    dRy = jnp.array([[-sp, 0, cp], [0, 0, 0], [-cp, 0, -sp]])
+    dRz = jnp.array([[-sy, -cy, 0], [cy, -sy, 0], [0, 0, 0]])
+    return Rz @ Ry @ dRx, Rz @ dRy @ Rx, dRz @ Ry @ Rx
+
+
+def _evaluate(blocks: Sequence[Matches], pose, saturation):
+    """Robust cost, normal equations H (6,6) and gradient g (6,) at `pose`."""
+    R, t = se3.jpose_to_rt(pose)
+    dRr, dRp, dRy = rotation_derivatives(pose[3:6])
+    H = jnp.zeros((6, 6))
+    g = jnp.zeros((6,))
+    cost = jnp.zeros(())
+    for m in blocks:
+        pred = m.X @ R.T + t
+        e = jnp.einsum("qij,qj->qi", m.A, pred - m.P)
+        s = jnp.sum(e * e, axis=-1)
+        w = jnp.where(m.valid, m.weight, 0.0)
+        irls = w * tukey_weight(s, saturation)
+        # J = A @ [I | dR/dparam X] -> (Q, 3, 6)
+        rot_cols = jnp.stack([m.X @ dRr.T, m.X @ dRp.T, m.X @ dRy.T], axis=-1)
+        Jr = jnp.einsum("qij,qjc->qic", m.A, rot_cols)
+        J = jnp.concatenate([jnp.broadcast_to(m.A, Jr.shape), Jr], axis=-1)
+        H = H + jnp.einsum("q,qai,qaj->ij", irls, J, J)
+        g = g + jnp.einsum("q,qai,qa->i", irls, J, e)
+        cost = cost + jnp.sum(w * tukey_rho(s, saturation))
+    return cost, H, g
+
+
+class LMResult(NamedTuple):
+    pose: jax.Array        # (6,) optimized
+    n_success: jax.Array   # () int32 — accepted steps incl. the initial eval
+    cost: jax.Array        # () final robust cost
+    H: jax.Array           # (6, 6) robust GN Hessian at the solution
+
+
+_FREE_MASK_2D = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0])
+
+
+def robust_lm(blocks: Sequence[Matches], pose0, saturation, cfg: SolverConfig,
+              lm_max_iter: int) -> LMResult:
+    """LM minimization of the robustified match cost starting at pose0."""
+    cost0, H0, g0 = _evaluate(blocks, pose0, saturation)
+
+    def cond(st):
+        pose, cost, H, g, lam, nsucc, it, done = st
+        return (it < lm_max_iter) & ~done
+
+    def body(st):
+        pose, cost, H, g, lam, nsucc, it, done = st
+        D = jnp.maximum(jnp.diag(H), 1e-12)
+        Hd = H + lam * jnp.diag(D)
+        delta = -jnp.linalg.solve(Hd, g)
+        if cfg.two_d_mode:
+            delta = delta * _FREE_MASK_2D
+        pose_new = pose + delta
+        cost_new, H_new, g_new = _evaluate(blocks, pose_new, saturation)
+        finite = jnp.isfinite(cost_new) & jnp.all(jnp.isfinite(delta))
+        accept = finite & (cost_new < cost)
+        small_decrease = accept & (cost - cost_new <= cfg.function_tolerance * jnp.maximum(cost, 1e-30))
+        pose = jnp.where(accept, pose_new, pose)
+        cost = jnp.where(accept, cost_new, cost)
+        H = jnp.where(accept, H_new, H)
+        g = jnp.where(accept, g_new, g)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12),
+                        jnp.minimum(lam * 4.0, 1e12))
+        nsucc = nsucc + accept.astype(jnp.int32)
+        done = small_decrease | (~accept & (lam >= 1e10))
+        return pose, cost, H, g, lam, nsucc, it + 1, done
+
+    init = (pose0, cost0, H0, g0, jnp.asarray(cfg.initial_lm_lambda, pose0.dtype),
+            jnp.ones((), jnp.int32), jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    pose, cost, H, g, lam, nsucc, it, done = jax.lax.while_loop(cond, body, init)
+    return LMResult(pose=pose, n_success=nsucc, cost=cost, H=H)
+
+
+def pose_covariance(H):
+    """6x6 pose covariance = pseudo-inverse of the robust GN Hessian."""
+    return jnp.linalg.pinv(H, rcond=1e-10, hermitian=True)
+
+
+class RegistrationError(NamedTuple):
+    """LocalOptimizer::RegistrationError parity (LocalOptimizer.h:34-49)."""
+
+    covariance: jax.Array            # (6, 6)
+    position_error: jax.Array        # () [m] sqrt of largest position eigval
+    position_direction: jax.Array    # (3,)
+    orientation_error: jax.Array     # () [deg]
+    orientation_direction: jax.Array  # (3,)
+
+
+def registration_error(H) -> RegistrationError:
+    cov = pose_covariance(H)
+    lam_p, V_p = jnp.linalg.eigh(cov[:3, :3])
+    lam_o, V_o = jnp.linalg.eigh(cov[3:, 3:])
+    return RegistrationError(
+        covariance=cov,
+        position_error=jnp.sqrt(jnp.maximum(lam_p[2], 0.0)),
+        position_direction=V_p[:, 2],
+        orientation_error=jnp.rad2deg(jnp.sqrt(jnp.maximum(lam_o[2], 0.0))),
+        orientation_direction=V_o[:, 2],
+    )
