@@ -100,7 +100,8 @@ def _ray_ground(origins, dirs, z):
 
 
 def _ray_box(origins, dirs, box: Box):
-    inv = np.where(np.abs(dirs) > 1e-12, 1.0 / dirs, np.sign(dirs) * 1e12 + 1e12)
+    with np.errstate(divide="ignore"):
+        inv = np.where(np.abs(dirs) > 1e-12, 1.0 / dirs, 1e15)
     t0 = (box.lo - origins) * inv
     t1 = (box.hi - origins) * inv
     tmin = np.max(np.minimum(t0, t1), axis=-1)
@@ -167,7 +168,7 @@ def render_sweep(world: World, sensor: SensorModel, pose_at, t_start: float, see
         t_hit = np.minimum(t_hit, tc)
 
     valid = np.isfinite(t_hit) & (t_hit <= world.max_range) & (t_hit >= sensor.min_range)
-    t_hit = t_hit + rng.normal(0, sensor.range_noise, t_hit.shape)
+    t_hit = np.where(valid, t_hit, 0.0) + rng.normal(0, sensor.range_noise, t_hit.shape)
     xyz_sensor = dirs_sensor * t_hit[..., None]      # sensor frame at firing time
 
     ring_ids = np.broadcast_to(np.arange(R)[:, None], (R, A))

@@ -1,0 +1,106 @@
+"""End-to-end SLAM on a synthetic golden sequence.
+
+The deterministic-replay equivalent of the reference's ros_test golden-
+trajectory regression (SURVEY.md §4): ray-cast a VLP-16-like sweep sequence
+through a structured world, run the full pipeline, and bound the trajectory
+error against the simulator ground truth.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from lidarslam_tpu import Slam, SlamConfig
+from lidarslam_tpu.config import ExtractorConfig, Keypoint, MapConfig
+from lidarslam_tpu.core import se3
+from lidarslam_tpu.io import synthetic
+
+
+def small_config():
+    return SlamConfig(
+        extractor=ExtractorConfig(n_rings=16, max_ring_points=1024, max_keypoints=1024),
+        edge_map=MapConfig(leaf_size=0.30, capacity=1 << 15, grid_size=26),
+        plane_map=MapConfig(leaf_size=0.60, capacity=1 << 15, grid_size=26),
+        blob_map=MapConfig(leaf_size=0.30, capacity=1 << 15, grid_size=26),
+    )
+
+
+@pytest.fixture(scope="module")
+def run():
+    frames = synthetic.generate_sequence(n_frames=15, motion_distortion=False,
+                                         sensor=synthetic.SensorModel(range_noise=0.005))
+    slam = Slam(small_config())
+    results = []
+    for f in frames:
+        results.append(slam.add_frame(f))
+    return frames, slam, results
+
+
+def test_trajectory_tracks_ground_truth(run):
+    frames, slam, results = run
+    errs_t, errs_r = [], []
+    gt0 = frames[0]["gt_pose"]
+    for f, r in zip(frames, results):
+        # SLAM world frame = first sensor pose; rebase ground truth to it
+        gt = se3.hmat_inverse(gt0) @ f["gt_pose"]
+        got = r["pose"]
+        errs_t.append(np.linalg.norm(got[:3, 3] - gt[:3, 3]))
+        dR = gt[:3, :3].T @ got[:3, :3]
+        ang = np.rad2deg(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        errs_r.append(ang)
+    errs_t = np.asarray(errs_t)
+    errs_r = np.asarray(errs_r)
+    # bounds sized for simulator noise (0.005 m ranges) + no undistortion
+    assert errs_t.max() < 0.15, f"position errors {errs_t}"
+    assert errs_r.max() < 1.5, f"rotation errors {errs_r}"
+    assert errs_t[-1] < 0.12
+
+
+def test_no_failures_and_matches_healthy(run):
+    frames, slam, results = run
+    for i, r in enumerate(results):
+        assert not r["failure"], f"frame {i} failed"
+        if i > 0:
+            assert r["n_matches"] > 100, f"frame {i}: {r['n_matches']} matches"
+
+
+def test_maps_grow_and_stay_bounded(run):
+    frames, slam, results = run
+    for k in (Keypoint.EDGE, Keypoint.PLANE):
+        pts, *_ = slam.get_map_points(k)
+        assert len(pts) > 200
+        cap = slam.map_cfgs[k].capacity
+        assert len(pts) <= cap
+
+
+def test_map_is_consistent_with_world(run):
+    """Registered map plane points must lie near the true world surfaces.
+    The SLAM world is anchored at the first sensor pose (z=1.8 above
+    ground), so the true ground sits at z = -1.8 in map coordinates."""
+    frames, slam, results = run
+    pts, *_ = slam.get_map_points(Keypoint.PLANE)
+    ground = pts[np.abs(pts[:, 2] + 1.8) < 0.25]
+    assert len(ground) > 50
+
+
+def test_covariance_populated(run):
+    frames, slam, results = run
+    cov = results[-1]["covariance"]
+    assert cov.shape == (6, 6)
+    assert np.all(np.isfinite(cov))
+    assert np.trace(cov) > 0
+
+
+def test_latency_compensated_pose(run):
+    frames, slam, results = run
+    H = slam.get_latency_compensated_world_transform()
+    assert H.shape == (4, 4)
+    assert np.isfinite(H).all()
+
+
+def test_pose_reset(run):
+    frames, slam, results = run
+    guess = se3.pose_to_hmat([1.0, 2.0, 3.0, 0, 0, 0.5])
+    slam.set_world_transform_from_guess(guess)
+    np.testing.assert_allclose(slam.get_world_transform(), guess)
