@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: steady-state scans/s of the full SLAM pipeline.
+
+Runs the complete per-sweep pipeline (range image -> extraction -> ego-motion
+-> scan-to-map ICP -> map update) on synthetic VLP-16-class sweeps and prints
+ONE JSON line. Baseline: the reference's stated real-time target of keeping
+up with a 10 Hz spinning LiDAR on a commodity CPU (BASELINE.md — the
+reference publishes no absolute scans/s), so vs_baseline = scans_per_sec / 10.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40, help="timed frames")
+    ap.add_argument("--warmup", type=int, default=6, help="warmup frames (compiles)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platform_name", "cpu")
+
+    import numpy as np
+    from lidarslam_tpu import Slam, SlamConfig
+    from lidarslam_tpu.config import ExtractorConfig, MapConfig
+    from lidarslam_tpu.io import synthetic
+
+    cfg = SlamConfig(
+        extractor=ExtractorConfig(n_rings=16, max_ring_points=2048, max_keypoints=2048),
+        edge_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
+        plane_map=MapConfig(leaf_size=0.60, capacity=1 << 16),
+        blob_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
+    )
+
+    n_total = args.warmup + args.frames
+    sensor = synthetic.SensorModel(n_rings=16, n_azimuth=1800)
+    t0 = time.perf_counter()
+    frames = synthetic.generate_sequence(n_frames=n_total, sensor=sensor,
+                                         motion_distortion=False)
+    if args.verbose:
+        print(f"# rendered {n_total} sweeps "
+              f"(~{len(frames[0]['xyz'])} pts each) in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+
+    slam = Slam(cfg)
+    for i in range(args.warmup):
+        r = slam.add_frame(frames[i])
+        if args.verbose:
+            print(f"# warmup {i}: {r.get('duration', 0)*1000:.0f} ms "
+                  f"matches={r.get('n_matches')}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    durations = []
+    for i in range(args.warmup, n_total):
+        r = slam.add_frame(frames[i])
+        durations.append(r["duration"])
+        if r.get("failure"):
+            print(f"# WARNING frame {i} failed", file=sys.stderr)
+    wall = time.perf_counter() - t0
+
+    scans_per_sec = args.frames / wall
+    if args.verbose:
+        d = np.asarray(durations) * 1000
+        print(f"# per-frame ms: mean {d.mean():.1f} p50 {np.percentile(d,50):.1f} "
+              f"p95 {np.percentile(d,95):.1f}", file=sys.stderr)
+        print(f"# backend: {jax.default_backend()}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "scans_per_sec",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

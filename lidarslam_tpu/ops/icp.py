@@ -52,8 +52,13 @@ def icp_register(
     lm_max_iter: int,
     min_matches: int,
     geoms: Sequence,
+    axis_name=None,
 ) -> ICPResult:
-    """Run the full ICP-LM loop. All structure args must be static."""
+    """Run the full ICP-LM loop. All structure args must be static.
+
+    With `axis_name` (inside shard_map over a keypoint-sharded mesh axis),
+    match counts and normal equations are psum-reduced so every device steps
+    the same pose while matching only its keypoint shard."""
     match_fns = {
         Keypoint.EDGE: matcher.match_edges,
         Keypoint.PLANE: matcher.match_planes,
@@ -80,10 +85,12 @@ def icp_register(
                                        inputs.index[ti], pose, params, geoms[ti]))
 
         it_counts = jnp.stack([b.n_matches.astype(jnp.int32) for b in blocks])
+        if axis_name is not None:
+            it_counts = jax.lax.psum(it_counts, axis_name)
         it_total = jnp.sum(it_counts)
         enough = it_total >= min_matches
 
-        res = solver.robust_lm(blocks, pose, sat, solver_cfg, lm_max_iter)
+        res = solver.robust_lm(blocks, pose, sat, solver_cfg, lm_max_iter, axis_name)
 
         step_ok = active & enough
         pose = jnp.where(step_ok, res.pose, pose)

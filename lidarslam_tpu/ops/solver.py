@@ -60,8 +60,13 @@ def rotation_derivatives(rpy):
     return Rz @ Ry @ dRx, Rz @ dRy @ Rx, dRz @ Ry @ Rx
 
 
-def _evaluate(blocks: Sequence[Matches], pose, saturation):
-    """Robust cost, normal equations H (6,6) and gradient g (6,) at `pose`."""
+def _evaluate(blocks: Sequence[Matches], pose, saturation, axis_name=None):
+    """Robust cost, normal equations H (6,6) and gradient g (6,) at `pose`.
+
+    With `axis_name`, the per-shard partial sums are `psum`-reduced over the
+    mesh axis — this is the multi-chip reduction point: keypoints shard over
+    devices, each chip contributes its 6x6/6 partials over ICI, and every
+    chip then solves the same tiny system (SURVEY.md §2.2 P7/P8)."""
     R, t = se3.jpose_to_rt(pose)
     dRr, dRp, dRy = rotation_derivatives(pose[3:6])
     H = jnp.zeros((6, 6))
@@ -80,6 +85,10 @@ def _evaluate(blocks: Sequence[Matches], pose, saturation):
         H = H + jnp.einsum("q,qai,qaj->ij", irls, J, J)
         g = g + jnp.einsum("q,qai,qa->i", irls, J, e)
         cost = cost + jnp.sum(w * tukey_rho(s, saturation))
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+        H = jax.lax.psum(H, axis_name)
+        g = jax.lax.psum(g, axis_name)
     return cost, H, g
 
 
@@ -94,9 +103,9 @@ _FREE_MASK_2D = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0])
 
 
 def robust_lm(blocks: Sequence[Matches], pose0, saturation, cfg: SolverConfig,
-              lm_max_iter: int) -> LMResult:
+              lm_max_iter: int, axis_name=None) -> LMResult:
     """LM minimization of the robustified match cost starting at pose0."""
-    cost0, H0, g0 = _evaluate(blocks, pose0, saturation)
+    cost0, H0, g0 = _evaluate(blocks, pose0, saturation, axis_name)
 
     def cond(st):
         pose, cost, H, g, lam, nsucc, it, done = st
@@ -110,7 +119,7 @@ def robust_lm(blocks: Sequence[Matches], pose0, saturation, cfg: SolverConfig,
         if cfg.two_d_mode:
             delta = delta * _FREE_MASK_2D
         pose_new = pose + delta
-        cost_new, H_new, g_new = _evaluate(blocks, pose_new, saturation)
+        cost_new, H_new, g_new = _evaluate(blocks, pose_new, saturation, axis_name)
         finite = jnp.isfinite(cost_new) & jnp.all(jnp.isfinite(delta))
         accept = finite & (cost_new < cost)
         small_decrease = accept & (cost - cost_new <= cfg.function_tolerance * jnp.maximum(cost, 1e-30))
