@@ -16,8 +16,8 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from lidarslam_tpu.config import Keypoint, MatchingConfig, SolverConfig
-from lidarslam_tpu.ops import matcher, solver
+from lidarslam_tpu.config import Keypoint, MatchingConfig, SolverConfig, UndistortionMode
+from lidarslam_tpu.ops import matcher, solver, undistortion
 from lidarslam_tpu.ops.voxel_map import PointIndex
 
 
@@ -30,6 +30,7 @@ class ICPInputs(NamedTuple):
     kp_xyz: tuple       # (Q, 3) per type, BASE coordinates (map-origin-relative target)
     kp_valid: tuple     # (Q,) per type
     index: tuple        # PointIndex per type
+    kp_time: tuple = (None, None, None)  # (Q,) per type, for undistortion
 
 
 class ICPResult(NamedTuple):
@@ -40,6 +41,7 @@ class ICPResult(NamedTuple):
     H: jax.Array                # (6, 6) robust Hessian at the last solve
     statuses: tuple             # (Q,) uint8 per type — last-round debug codes
     weights: tuple              # (Q,) f32 per type
+    warp: object = None         # final sweep WarpParams (None when disabled)
 
 
 def icp_register(
@@ -53,6 +55,12 @@ def icp_register(
     min_matches: int,
     geoms: Sequence,
     axis_name=None,
+    undistort_mode: UndistortionMode = UndistortionMode.NONE,
+    prev_pose=None,
+    t_prev=0.0,
+    t_cur=1.0,
+    time_range=(0.0, 0.0),
+    max_extrapolation_ratio: float = 3.0,
 ) -> ICPResult:
     """Run the full ICP-LM loop. All structure args must be static.
 
@@ -74,14 +82,31 @@ def icp_register(
     statuses = tuple(jnp.zeros(inputs.kp_xyz[int(t)].shape[0], jnp.uint8) for t in types)
     weights = tuple(jnp.zeros(inputs.kp_xyz[int(t)].shape[0], jnp.float32) for t in types)
 
+    undistort = undistort_mode != UndistortionMode.NONE and prev_pose is not None
+
+    def make_warp(p):
+        return undistortion.compute_warp(prev_pose, p, t_prev, t_cur,
+                                         time_range[0], time_range[1],
+                                         max_extrapolation_ratio)
+
+    warp = make_warp(pose) if undistort else None
+
     for it in range(icp_iters):
         ratio = it / max(icp_iters - 1, 1)
         sat = (1.0 - ratio) * params.init_saturation_distance + ratio * params.final_saturation_distance
 
+        # REFINED: re-derive the within-sweep warp from the refined pose each
+        # round (Slam.cxx:1142-1143); ONCE keeps the prior-based warp
+        if undistort and undistort_mode == UndistortionMode.REFINED and it > 0:
+            warp = make_warp(pose)
+
         blocks = []
         for t in types:
             ti = int(t)
-            blocks.append(match_fns[t](inputs.kp_xyz[ti], inputs.kp_valid[ti],
+            x = inputs.kp_xyz[ti]
+            if undistort:
+                x = undistortion.warp_points(x, inputs.kp_time[ti], warp)
+            blocks.append(match_fns[t](x, inputs.kp_valid[ti],
                                        inputs.index[ti], pose, params, geoms[ti]))
 
         it_counts = jnp.stack([b.n_matches.astype(jnp.int32) for b in blocks])
@@ -106,5 +131,9 @@ def icp_register(
         converged = res.n_success == 1
         active = step_ok & ~converged
 
+    final_warp = None
+    if undistort:
+        final_warp = make_warp(pose) if undistort_mode == UndistortionMode.REFINED else warp
     return ICPResult(pose=pose, failed=failed, total_matches=total,
-                     match_counts=counts, H=H, statuses=statuses, weights=weights)
+                     match_counts=counts, H=H, statuses=statuses, weights=weights,
+                     warp=final_warp)

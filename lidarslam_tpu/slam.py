@@ -30,7 +30,7 @@ from lidarslam_tpu import confidence as confidence_mod
 from lidarslam_tpu.config import (EgoMotionMode, Keypoint, MappingMode, MatchStatus,
                                   SlamConfig)
 from lidarslam_tpu.core import se3
-from lidarslam_tpu.ops import extractor, icp, solver, voxel_map
+from lidarslam_tpu.ops import extractor, icp, solver, undistortion, voxel_map
 from lidarslam_tpu.ops.frame import Keypoints, build_range_image, estimate_azimuthal_resolution
 
 
@@ -77,7 +77,9 @@ class Slam:
         self._extract = jax.jit(extractor.extract_keypoints, static_argnums=(2,))
         self._icp = jax.jit(icp.icp_register,
                             static_argnames=("types", "params", "solver_cfg", "icp_iters",
-                                             "lm_max_iter", "min_matches", "geoms"))
+                                             "lm_max_iter", "min_matches", "geoms",
+                                             "undistort_mode", "max_extrapolation_ratio"))
+        self._warp_points = jax.jit(undistortion.warp_points)
         self._registration_error = jax.jit(solver.registration_error)
 
     # ------------------------------------------------------------------
@@ -104,6 +106,7 @@ class Slam:
         self.azimuthal_resolution = cfg.extractor.azimuthal_resolution
         self.current_keypoints: Dict[Keypoint, Keypoints] = {}
         self.previous_keypoints: Dict[Keypoint, Keypoints] = {}
+        self.current_warp = None  # within-sweep undistortion of the last frame
         self.last_stamp = None
         self.last_seq = None
         self.failure = False
@@ -262,6 +265,7 @@ class Slam:
         types = cfg.used_types
         kp_xyz = [None, None, None]
         kp_valid = [None, None, None]
+        kp_time = [None, None, None]
         index = [None, None, None]
         geoms = [None, None, None]
         indices = {}
@@ -272,6 +276,7 @@ class Slam:
             kp = self.current_keypoints[t]
             kp_xyz[int(t)] = kp.xyz
             kp_valid[int(t)] = kp.valid
+            kp_time[int(t)] = kp.time
             # world-frame bbox of current keypoints under the prior
             world = se3.japply_pose(jnp.asarray(pose0, jnp.float32), kp.xyz)
             big = jnp.float32(3e38)
@@ -283,12 +288,35 @@ class Slam:
             indices[t] = idx
             geoms[int(t)] = self.geoms[t]
 
+        undistort_kwargs = {}
+        if cfg.undistortion != 0:
+            # sweep time range across all used keypoint types (InitUndistortion,
+            # Slam.cxx:1288-1319)
+            tmin = jnp.float32(3e38)
+            tmax = jnp.float32(-3e38)
+            for t in types:
+                kp = self.current_keypoints[t]
+                tmin = jnp.minimum(tmin, jnp.min(jnp.where(kp.valid, kp.time, 3e38)))
+                tmax = jnp.maximum(tmax, jnp.max(jnp.where(kp.valid, kp.time, -3e38)))
+            prev_rel = self.PreviousTworld.copy()
+            prev_rel[:3, 3] -= self.map_origin
+            t_prev = self.log_trajectory[-1]["time"] if self.log_trajectory else stamp
+            undistort_kwargs = dict(
+                undistort_mode=cfg.undistortion,
+                prev_pose=jnp.asarray(se3.hmat_to_pose(prev_rel), jnp.float32),
+                t_prev=jnp.float32(t_prev), t_cur=jnp.float32(stamp),
+                time_range=(tmin, tmax),
+                max_extrapolation_ratio=cfg.max_extrapolation_ratio)
+
         res = self._icp(
-            icp.ICPInputs(kp_xyz=tuple(kp_xyz), kp_valid=tuple(kp_valid), index=tuple(index)),
+            icp.ICPInputs(kp_xyz=tuple(kp_xyz), kp_valid=tuple(kp_valid), index=tuple(index),
+                          kp_time=tuple(kp_time)),
             types=types, pose0=jnp.asarray(pose0, jnp.float32),
             params=cfg.loc_matching, solver_cfg=cfg.solver,
             icp_iters=cfg.localization_icp_max_iter, lm_max_iter=cfg.localization_lm_max_iter,
-            min_matches=cfg.min_nb_matched_keypoints, geoms=tuple(geoms))
+            min_matches=cfg.min_nb_matched_keypoints, geoms=tuple(geoms),
+            **undistort_kwargs)
+        self.current_warp = res.warp
 
         self.total_matched_keypoints = int(res.total_matches)
         self.match_counts = np.asarray(res.match_counts, np.int64)
@@ -364,7 +392,10 @@ class Slam:
         world_kp = {}
         for t in cfg.used_types:
             kp = self.current_keypoints[t]
-            world = se3.japply_pose(pose_rel, kp.xyz)
+            base = kp.xyz
+            if self.current_warp is not None:
+                base = self._warp_points(base, kp.time, self.current_warp)
+            world = se3.japply_pose(pose_rel, base)
             world_kp[t] = world
             big = jnp.float32(3e38)
             bbox_min = np.minimum(bbox_min, np.asarray(
@@ -451,7 +482,10 @@ class Slam:
         if kp is None:
             return np.zeros((0, 3), np.float32)
         n = int(kp.count)
-        pts = np.asarray(kp.xyz)[:n]
+        xyz = kp.xyz
+        if world and self.current_warp is not None:
+            xyz = self._warp_points(xyz, kp.time, self.current_warp)
+        pts = np.asarray(xyz)[:n]
         if world:
             pts = pts @ np.asarray(self.Tworld[:3, :3].T, np.float32) + \
                 np.asarray(self.Tworld[:3, 3], np.float32)
