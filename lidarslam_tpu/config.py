@@ -210,6 +210,12 @@ class SlamConfig:
     max_extrapolation_ratio: float = 3.0
     min_nb_matched_keypoints: int = 20
 
+    # external sensor constraints (SensorConstraints.h:30-31, 65-66)
+    wheel_odom_weight: float = 0.0       # 0 disables the wheel-odometry residual
+    wheel_odom_relative: bool = False    # per-frame increments vs since-start distance
+    imu_weight: float = 0.0              # 0 disables the gravity residual
+    sensor_time_offset: float = 0.0      # [s] sensor clock - lidar clock
+
     two_d_mode: bool = False
 
     # sub-configs

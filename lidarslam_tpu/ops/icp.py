@@ -61,6 +61,7 @@ def icp_register(
     t_cur=1.0,
     time_range=(0.0, 0.0),
     max_extrapolation_ratio: float = 3.0,
+    extras=(),
 ) -> ICPResult:
     """Run the full ICP-LM loop. All structure args must be static.
 
@@ -115,7 +116,8 @@ def icp_register(
         it_total = jnp.sum(it_counts)
         enough = it_total >= min_matches
 
-        res = solver.robust_lm(blocks, pose, sat, solver_cfg, lm_max_iter, axis_name)
+        res = solver.robust_lm(blocks, pose, sat, solver_cfg, lm_max_iter, axis_name,
+                               extras=extras)
 
         step_ok = active & enough
         pose = jnp.where(step_ok, res.pose, pose)

@@ -60,7 +60,44 @@ def rotation_derivatives(rpy):
     return Rz @ Ry @ dRx, Rz @ dRy @ Rx, dRz @ Ry @ Rx
 
 
-def _evaluate(blocks: Sequence[Matches], pose, saturation, axis_name=None):
+def _extra_terms(extras, pose):
+    """Cost/H/g contributions of sensor residual blocks (wheel odometry,
+    IMU gravity) — plain scaled least squares, no robust loss, matching the
+    reference's ScaledLoss(NULL, weight) wrapping (SensorConstraints.cxx)."""
+    from lidarslam_tpu.sensors.constraints import GravityResidual, OdomResidual
+
+    H = jnp.zeros((6, 6))
+    g = jnp.zeros((6,))
+    cost = jnp.zeros(())
+    if not extras:
+        return cost, H, g
+    R, t = se3.jpose_to_rt(pose)
+    dRr, dRp, dRy = rotation_derivatives(pose[3:6])
+    for ex in extras:
+        w = jnp.where(ex.valid, ex.weight, 0.0)
+        if isinstance(ex, OdomResidual):
+            m = t - ex.prev_pos
+            sq = jnp.sum(m * m)
+            norm = jnp.sqrt(jnp.maximum(sq, 1e-12))
+            e = jnp.where(sq < 1e-6, 0.0, norm) - ex.distance
+            Jt = jnp.where(sq < 1e-6, jnp.zeros(3), m / norm)
+            J = jnp.concatenate([Jt, jnp.zeros(3)])          # (6,)
+            H = H + w * jnp.outer(J, J)
+            g = g + w * J * e
+            cost = cost + w * e * e
+        elif isinstance(ex, GravityResidual):
+            e = R @ ex.g_cur - ex.g_ref                       # (3,)
+            Jr = jnp.stack([dRr @ ex.g_cur, dRp @ ex.g_cur, dRy @ ex.g_cur], axis=-1)
+            J = jnp.concatenate([jnp.zeros((3, 3)), Jr], axis=-1)  # (3, 6)
+            H = H + w * J.T @ J
+            g = g + w * J.T @ e
+            cost = cost + w * jnp.sum(e * e)
+        else:  # pragma: no cover
+            raise TypeError(f"unknown extra residual {type(ex)}")
+    return cost, H, g
+
+
+def _evaluate(blocks: Sequence[Matches], pose, saturation, axis_name=None, extras=()):
     """Robust cost, normal equations H (6,6) and gradient g (6,) at `pose`.
 
     With `axis_name`, the per-shard partial sums are `psum`-reduced over the
@@ -89,7 +126,9 @@ def _evaluate(blocks: Sequence[Matches], pose, saturation, axis_name=None):
         cost = jax.lax.psum(cost, axis_name)
         H = jax.lax.psum(H, axis_name)
         g = jax.lax.psum(g, axis_name)
-    return cost, H, g
+    # sensor constraints are replicated, added after the cross-shard reduce
+    ec, eH, eg = _extra_terms(extras, pose)
+    return cost + ec, H + eH, g + eg
 
 
 class LMResult(NamedTuple):
@@ -103,9 +142,9 @@ _FREE_MASK_2D = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0])
 
 
 def robust_lm(blocks: Sequence[Matches], pose0, saturation, cfg: SolverConfig,
-              lm_max_iter: int, axis_name=None) -> LMResult:
+              lm_max_iter: int, axis_name=None, extras=()) -> LMResult:
     """LM minimization of the robustified match cost starting at pose0."""
-    cost0, H0, g0 = _evaluate(blocks, pose0, saturation, axis_name)
+    cost0, H0, g0 = _evaluate(blocks, pose0, saturation, axis_name, extras)
 
     def cond(st):
         pose, cost, H, g, lam, nsucc, it, done = st
@@ -119,7 +158,7 @@ def robust_lm(blocks: Sequence[Matches], pose0, saturation, cfg: SolverConfig,
         if cfg.two_d_mode:
             delta = delta * _FREE_MASK_2D
         pose_new = pose + delta
-        cost_new, H_new, g_new = _evaluate(blocks, pose_new, saturation, axis_name)
+        cost_new, H_new, g_new = _evaluate(blocks, pose_new, saturation, axis_name, extras)
         finite = jnp.isfinite(cost_new) & jnp.all(jnp.isfinite(delta))
         accept = finite & (cost_new < cost)
         small_decrease = accept & (cost - cost_new <= cfg.function_tolerance * jnp.maximum(cost, 1e-30))

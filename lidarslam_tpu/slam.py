@@ -32,6 +32,7 @@ from lidarslam_tpu.config import (EgoMotionMode, Keypoint, MappingMode, MatchSta
 from lidarslam_tpu.core import se3
 from lidarslam_tpu.ops import extractor, icp, solver, undistortion, voxel_map
 from lidarslam_tpu.ops.frame import Keypoints, build_range_image, estimate_azimuthal_resolution
+from lidarslam_tpu.sensors.constraints import ImuManager, WheelOdometryManager
 
 
 def _shared_resolution(cfg: SlamConfig) -> float:
@@ -113,6 +114,11 @@ class Slam:
         self.motion_checker = confidence_mod.MotionLimitChecker(
             cfg.confidence.time_window_duration, cfg.confidence.velocity_limits,
             cfg.confidence.acceleration_limits)
+        self.wheel_odom = WheelOdometryManager(cfg.wheel_odom_weight,
+                                               cfg.wheel_odom_relative,
+                                               cfg.sensor_time_offset)
+        self.imu = ImuManager(cfg.imu_weight, cfg.sensor_time_offset)
+        self._sensor_extras = ()
         if reset_log:
             self.n_frames = 0
             self.log_trajectory: List[dict] = []  # {time, pose (4,4), covariance}
@@ -156,6 +162,18 @@ class Slam:
 
         # ---- ego-motion ----
         self._compute_ego_motion(stamp)
+
+        # ---- sensor constraints (Slam::ComputeSensorConstraints, 347-352) ----
+        extras = []
+        if self.wheel_odom.can_be_used():
+            r = self.wheel_odom.compute_constraint(stamp)
+            if r is not None:
+                extras.append(r)
+        if self.imu.can_be_used():
+            r = self.imu.compute_constraint(stamp)
+            if r is not None:
+                extras.append(r)
+        self._sensor_extras = tuple(extras)
 
         # ---- localization ----
         loc = self._localize(stamp)
@@ -315,6 +333,7 @@ class Slam:
             params=cfg.loc_matching, solver_cfg=cfg.solver,
             icp_iters=cfg.localization_icp_max_iter, lm_max_iter=cfg.localization_lm_max_iter,
             min_matches=cfg.min_nb_matched_keypoints, geoms=tuple(geoms),
+            extras=self._rebase_extras(self._sensor_extras),
             **undistort_kwargs)
         self.current_warp = res.warp
 
@@ -333,10 +352,38 @@ class Slam:
         Trel_world[:3, 3] += self.map_origin
         self.Tworld = Trel_world
         self.Trelative = se3.hmat_inverse(self.PreviousTworld) @ self.Tworld
+        if self.cfg.wheel_odom_relative:
+            self.wheel_odom.set_reference_pose(self.Tworld[:3, 3])
         err = self._registration_error(res.H)
         self.covariance = np.asarray(err.covariance, np.float64)
         self._last_icp = res
         return {"indices": indices}
+
+    def _rebase_extras(self, extras):
+        """Shift world-frame sensor residual references into MAP coordinates."""
+        from lidarslam_tpu.sensors.constraints import OdomResidual
+
+        out = []
+        for ex in extras:
+            if isinstance(ex, OdomResidual):
+                ex = ex._replace(prev_pos=ex.prev_pos
+                                 - jnp.asarray(self.map_origin, jnp.float32))
+            out.append(ex)
+        return tuple(out)
+
+    # ------------------------------------------------------------------
+    # External sensor API (Slam.cxx:1584-1598)
+    # ------------------------------------------------------------------
+
+    def add_wheel_odom_measurement(self, time: float, distance: float):
+        self.wheel_odom.add_measurement(time, distance)
+
+    def add_gravity_measurement(self, time: float, acceleration):
+        self.imu.add_measurement(time, acceleration)
+
+    def clear_sensor_measurements(self):
+        self.wheel_odom.reset()
+        self.imu.reset()
 
     def _estimate_overlap(self, frame, indices) -> float:
         """LCP overlap of the registered scan on the submaps
