@@ -202,6 +202,89 @@ def interpolate_hmat(H0, H1, t, t0=0.0, t1=1.0):
     return H
 
 
+def hat(w):
+    """(3,) -> (3, 3) skew-symmetric cross-product matrix."""
+    w = _np.asarray(w, dtype=_np.float64)
+    return _np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+
+
+def so3_log(R):
+    """Rotation matrix -> rotation vector (angle * axis)."""
+    R = _np.asarray(R, dtype=_np.float64)
+    c = _np.clip((_np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = _np.arccos(c)
+    if theta < 1e-9:
+        return _np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]) / 2.0
+    if abs(_np.pi - theta) < 1e-6:
+        # near pi: use the symmetric part
+        A = (R + _np.eye(3)) / 2.0
+        axis = _np.sqrt(_np.maximum(_np.diag(A), 0.0))
+        # fix signs from off-diagonals
+        if A[0, 1] < 0:
+            axis[1] = -axis[1]
+        if A[0, 2] < 0:
+            axis[2] = -axis[2]
+        return theta * axis / max(_np.linalg.norm(axis), 1e-12)
+    v = _np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    return theta / (2.0 * _np.sin(theta)) * v
+
+
+def so3_exp(w):
+    """Rotation vector -> rotation matrix (Rodrigues)."""
+    w = _np.asarray(w, dtype=_np.float64)
+    theta = _np.linalg.norm(w)
+    W = hat(w)
+    if theta < 1e-9:
+        return _np.eye(3) + W
+    return (_np.eye(3) + _np.sin(theta) / theta * W
+            + (1 - _np.cos(theta)) / theta**2 * (W @ W))
+
+
+def se3_log(H):
+    """(4,4) isometry -> (6,) twist [rho, phi] with H = exp([rho, phi])."""
+    H = _np.asarray(H, dtype=_np.float64)
+    phi = so3_log(H[:3, :3])
+    theta = _np.linalg.norm(phi)
+    W = hat(phi)
+    if theta < 1e-9:
+        Vinv = _np.eye(3) - 0.5 * W
+    else:
+        Vinv = (_np.eye(3) - 0.5 * W
+                + (1.0 / theta**2 - (1.0 + _np.cos(theta)) / (2.0 * theta * _np.sin(theta)))
+                * (W @ W))
+    return _np.concatenate([Vinv @ H[:3, 3], phi])
+
+
+def se3_exp(xi):
+    """(6,) twist [rho, phi] -> (4,4) isometry."""
+    xi = _np.asarray(xi, dtype=_np.float64)
+    rho, phi = xi[:3], xi[3:]
+    theta = _np.linalg.norm(phi)
+    W = hat(phi)
+    R = so3_exp(phi)
+    if theta < 1e-9:
+        V = _np.eye(3) + 0.5 * W
+    else:
+        V = (_np.eye(3) + (1 - _np.cos(theta)) / theta**2 * W
+             + (theta - _np.sin(theta)) / theta**3 * (W @ W))
+    H = _np.eye(4)
+    H[:3, :3] = R
+    H[:3, 3] = V @ rho
+    return H
+
+
+def adjoint(H):
+    """(4,4) -> (6,6) adjoint of SE(3) for [rho, phi] twist order."""
+    H = _np.asarray(H, dtype=_np.float64)
+    R = H[:3, :3]
+    t = H[:3, 3]
+    Ad = _np.zeros((6, 6))
+    Ad[:3, :3] = R
+    Ad[:3, 3:] = hat(t) @ R
+    Ad[3:, 3:] = R
+    return Ad
+
+
 def quat_from_matrix(R):
     return _quat_from_matrix(_np, _np.asarray(R, dtype=_np.float64))
 

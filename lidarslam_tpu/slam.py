@@ -494,6 +494,109 @@ class Slam:
                  for k in cfg.used_types})
 
     # ------------------------------------------------------------------
+    # Pose-graph optimization (Slam::RunPoseGraphOptimization, 355-487)
+    # ------------------------------------------------------------------
+
+    def run_pose_graph_optimization(self, gps_positions, gps_times,
+                                    gps_covariances=None,
+                                    gps_to_sensor_offset=None) -> bool:
+        """Optimize the whole logged trajectory against GPS priors and
+        rebuild the maps from the logged keypoints. Returns success."""
+        from lidarslam_tpu.backend import posegraph
+
+        cfg = self.cfg
+        if len(self.log_trajectory) < 2:
+            self._log("PGO requires at least 2 logged poses")
+            return False
+        if len(self.log_keypoints) != len(self.log_trajectory):
+            self._log("PGO requires keypoint logging (logging_timeout != 0)")
+            return False
+
+        times = np.array([e["time"] for e in self.log_trajectory])
+        poses = [e["pose"] for e in self.log_trajectory]
+        covs = [e["covariance"] if np.trace(e["covariance"]) > 0 else np.eye(6) * 1e-4
+                for e in self.log_trajectory]
+
+        optimized, cost = posegraph.optimize_pose_graph(
+            poses, times, covs,
+            gps_positions=np.asarray(gps_positions, np.float64),
+            gps_times=np.asarray(gps_times, np.float64),
+            gps_covariances=None if gps_covariances is None
+            else np.asarray(gps_covariances, np.float64),
+            gps_to_sensor_offset=gps_to_sensor_offset,
+            verbose=cfg.verbosity >= 2)
+
+        # re-anchor the world frame at the first optimized pose (Slam.cxx:404-419)
+        anchor = optimized[0]
+        anchor_inv = se3.hmat_inverse(anchor)
+        new_poses = [anchor_inv @ p for p in optimized]
+        for e, p in zip(self.log_trajectory, new_poses):
+            e["pose"] = p
+
+        # rebuild the maps from logged keypoints at optimized poses (421-477)
+        self.maps = {k: voxel_map.VoxelMap.empty(self.map_cfgs[k]) for k in cfg.used_types}
+        self.map_origin = np.zeros(3)
+        world_clouds = {k: [] for k in cfg.used_types}
+        last_bbox = None
+        for i, (entry, kps) in enumerate(zip(self.log_trajectory, self.log_keypoints)):
+            H = entry["pose"]
+            for k in cfg.used_types:
+                kp = kps[k]
+                n = int(kp.count)
+                if n == 0:
+                    continue
+                pts = kp.xyz[:n].astype(np.float64)
+                if cfg.undistortion != 0 and i >= 1:
+                    pts = self._replay_undistort(pts, kp.time[:n],
+                                                 self.log_trajectory[i - 1], entry)
+                else:
+                    pts = pts @ H[:3, :3].T + H[:3, 3]
+                world_clouds[k].append((pts.astype(np.float32), kp.intensity[:n]))
+                if i == len(self.log_trajectory) - 1:
+                    bb = (pts.min(axis=0), pts.max(axis=0))
+                    last_bbox = (np.minimum(last_bbox[0], bb[0]),
+                                 np.maximum(last_bbox[1], bb[1])) if last_bbox else bb
+        for k in cfg.used_types:
+            if not world_clouds[k]:
+                continue
+            mc = self.map_cfgs[k]
+            all_pts = np.concatenate([c[0] for c in world_clouds[k]])
+            all_int = np.concatenate([c[1] for c in world_clouds[k]])
+            cap = mc.capacity
+            for start in range(0, len(all_pts), cap // 2):
+                chunk = slice(start, start + cap // 2)
+                pts = all_pts[chunk]
+                self.maps[k] = voxel_map.add_points(
+                    self.maps[k], jnp.asarray(pts), jnp.asarray(all_int[chunk]),
+                    jnp.float32(times[-1]), jnp.ones(len(pts), bool),
+                    jnp.float32(times[-1]), mc, fixed=False)
+            if last_bbox is not None:
+                self.maps[k], off = voxel_map.roll(
+                    self.maps[k], jnp.asarray(last_bbox[0], jnp.float32),
+                    jnp.asarray(last_bbox[1], jnp.float32), mc)
+        if last_bbox is not None:
+            res = voxel_map.effective_resolution(next(iter(self.map_cfgs.values())))
+            self.map_origin = self.map_origin + np.asarray(off, np.float64) * res
+
+        self.Tworld = new_poses[-1].copy()
+        self.PreviousTworld = new_poses[-2].copy()
+        self.Trelative = se3.hmat_inverse(self.PreviousTworld) @ self.Tworld
+        self.kf_last_pose = self.Tworld.copy()
+        self._log(f"PGO done: cost {cost:.3e}, {len(new_poses)} poses")
+        return True
+
+    def _replay_undistort(self, pts, point_times, prev_entry, cur_entry):
+        """Per-point slerp between consecutive optimized poses (Slam.cxx:426-440)."""
+        from lidarslam_tpu.core.se3 import _interpolate_rt
+        H0, H1 = prev_entry["pose"], cur_entry["pose"]
+        t0, t1 = prev_entry["time"], cur_entry["time"]
+        if abs(t1 - t0) < 1e-9 or np.allclose(H0, H1, atol=1e-12):
+            return pts @ H1[:3, :3].T + H1[:3, 3]
+        R, tv = _interpolate_rt(np, H0[:3, :3], H0[:3, 3], H1[:3, :3], H1[:3, 3],
+                                t1 + point_times.astype(np.float64), t0, t1)
+        return np.einsum("nij,nj->ni", R, pts) + tv
+
+    # ------------------------------------------------------------------
     # Results API (Slam.h getters surface)
     # ------------------------------------------------------------------
 
