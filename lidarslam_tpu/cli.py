@@ -1,0 +1,159 @@
+"""Command-line driver: offline replay, golden-run comparison, map export.
+
+The production-driver surface of the engine (the role LidarSlamNode plays in
+the reference, minus ROS): feed a sweep sequence (synthetic or a directory of
+PCD sweeps), write `Poses.csv` / `Evaluators.csv` in the reference regression
+format, optionally save maps, and compare runs against a golden reference
+with the CI thresholds (eval.yaml:11-13).
+
+Usage:
+  python -m lidarslam_tpu.cli run --synthetic 30 --out results/
+  python -m lidarslam_tpu.cli run --pcd-dir sweeps/ --rate 10 --out results/
+  python -m lidarslam_tpu.cli compare --res results/ --ref golden/
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _build_slam(args):
+    from lidarslam_tpu import Slam, SlamConfig
+    from lidarslam_tpu.config import (EgoMotionMode, ExtractorConfig, MapConfig,
+                                      UndistortionMode)
+
+    cfg = SlamConfig(
+        ego_motion_mode=EgoMotionMode(args.ego_motion),
+        undistortion=UndistortionMode(args.undistortion),
+        use_blobs=args.use_blobs,
+        extractor=ExtractorConfig(n_rings=args.rings,
+                                  max_ring_points=args.max_ring_points,
+                                  max_keypoints=args.max_keypoints),
+        verbosity=args.verbosity,
+    )
+    return Slam(cfg)
+
+
+def _frames_from_args(args):
+    if args.synthetic:
+        from lidarslam_tpu.io import synthetic
+        sensor = synthetic.SensorModel(n_rings=args.rings)
+        return synthetic.generate_sequence(n_frames=args.synthetic, sensor=sensor,
+                                           motion_distortion=args.undistortion > 0)
+    if args.pcd_dir:
+        from lidarslam_tpu.io import pcd
+        frames = []
+        for i, path in enumerate(sorted(glob.glob(os.path.join(args.pcd_dir, "*.pcd")))):
+            data = pcd.load_pcd(path)
+            n = len(data["xyz"])
+            frames.append({
+                "xyz": data["xyz"],
+                "intensity": data.get("intensity", __import__("numpy").zeros(n)),
+                "laser_id": data.get("laser_id", __import__("numpy").zeros(n, int)),
+                "time": data.get("time", __import__("numpy").zeros(n)),
+                "stamp": i / args.rate,
+                "seq": i,
+            })
+        return frames
+    raise SystemExit("need --synthetic N or --pcd-dir DIR")
+
+
+def cmd_run(args):
+    import numpy as np
+    from lidarslam_tpu.io import csv_log
+
+    slam = _build_slam(args)
+    frames = _frames_from_args(args)
+    os.makedirs(args.out, exist_ok=True)
+
+    poses, evals = [], []
+    for i, f in enumerate(frames):
+        r = slam.add_frame(f)
+        if "skipped" in r:
+            print(f"frame {i}: skipped ({r['skipped']})", file=sys.stderr)
+            continue
+        poses.append((f["stamp"], r["pose"]))
+        evals.append((f["stamp"], r["overlap"], r["n_matches"], r["duration"]))
+        if args.verbosity >= 1:
+            p = r["pose"][:3, 3]
+            print(f"frame {i}: pos [{p[0]:.3f} {p[1]:.3f} {p[2]:.3f}] "
+                  f"matches {r['n_matches']} {r['duration']*1000:.0f} ms")
+
+    csv_log.write_poses_csv(os.path.join(args.out, "Poses.csv"), poses)
+    csv_log.write_evaluators_csv(os.path.join(args.out, "Evaluators.csv"), evals)
+    if args.save_maps:
+        slam.save_maps_to_pcd(os.path.join(args.out, "map_"))
+    d = np.array([e[3] for e in evals])
+    print(json.dumps({"frames": len(poses),
+                      "mean_frame_ms": round(float(d.mean() * 1000), 2) if len(d) else None,
+                      "out": args.out}))
+
+
+def cmd_compare(args):
+    from lidarslam_tpu.io import csv_log
+
+    res = csv_log.read_poses_csv(os.path.join(args.res, "Poses.csv"))
+    ref = csv_log.read_poses_csv(os.path.join(args.ref, "Poses.csv"))
+    res_e = ref_e = None
+    try:
+        res_e = csv_log.read_evaluators_csv(os.path.join(args.res, "Evaluators.csv"))
+        ref_e = csv_log.read_evaluators_csv(os.path.join(args.ref, "Evaluators.csv"))
+    except OSError:
+        pass
+    cmp = csv_log.compare_to_reference(res, ref, res_e, ref_e,
+                                       position_threshold=args.position_threshold,
+                                       angle_threshold_deg=args.angle_threshold,
+                                       time_threshold=args.time_threshold)
+    for m in cmp.messages:
+        print(m, file=sys.stderr)
+    print(json.dumps({"success": bool(cmp.success),
+                      "max_position_error_m": round(cmp.max_position_error, 5),
+                      "max_angle_error_deg": round(cmp.max_angle_error, 3),
+                      "mean_time_delta_s": round(cmp.mean_time_delta, 5),
+                      "n_compared": cmp.n_compared}))
+    return 0 if cmp.success else 1
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="lidarslam_tpu")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="process a sweep sequence")
+    run.add_argument("--synthetic", type=int, default=0, metavar="N")
+    run.add_argument("--pcd-dir")
+    run.add_argument("--rate", type=float, default=10.0, help="sweeps per second")
+    run.add_argument("--out", required=True)
+    run.add_argument("--rings", type=int, default=16)
+    run.add_argument("--max-ring-points", type=int, default=2048)
+    run.add_argument("--max-keypoints", type=int, default=2048)
+    run.add_argument("--ego-motion", type=int, default=1,
+                     help="0 none, 1 extrapolation, 2 registration, 3 both")
+    run.add_argument("--undistortion", type=int, default=0,
+                     help="0 none, 1 once, 2 refined")
+    run.add_argument("--use-blobs", action="store_true")
+    run.add_argument("--save-maps", action="store_true")
+    run.add_argument("--verbosity", type=int, default=0)
+    run.set_defaults(fn=cmd_run)
+
+    cmp = sub.add_parser("compare", help="compare a run against a golden run")
+    cmp.add_argument("--res", required=True)
+    cmp.add_argument("--ref", required=True)
+    cmp.add_argument("--position-threshold", type=float, default=0.01)
+    cmp.add_argument("--angle-threshold", type=float, default=5.0)
+    cmp.add_argument("--time-threshold", type=float, default=0.005)
+    cmp.set_defaults(fn=cmd_compare)
+
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platform_name", "cpu")
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

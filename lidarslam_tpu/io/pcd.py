@@ -1,0 +1,92 @@
+"""PCD point-cloud file I/O (interop with the reference's map files).
+
+Supports the `LidarPoint` field layout the reference writes via
+`savePointCloudToPCD` (PointCloudStorage.h:85-115): x y z intensity time
+laser_id device_id label, in ascii or binary encoding, plus plain xyz[i]
+clouds from other tools. Host-side numpy, no PCL dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_DTYPES = {("F", 4): "f4", ("F", 8): "f8", ("I", 1): "i1", ("I", 2): "i2",
+           ("I", 4): "i4", ("U", 1): "u1", ("U", 2): "u2", ("U", 4): "u4"}
+
+
+def save_pcd(path, xyz, intensity=None, time=None, laser_id=None, label=None,
+             binary=True):
+    """Write a PCD v0.7 file with the reference-compatible field set."""
+    xyz = np.asarray(xyz, np.float32)
+    n = len(xyz)
+    fields = [("x", "f4", xyz[:, 0]), ("y", "f4", xyz[:, 1]), ("z", "f4", xyz[:, 2])]
+    if intensity is not None:
+        fields.append(("intensity", "f4", np.asarray(intensity, np.float32)))
+    if time is not None:
+        fields.append(("time", "f8", np.asarray(time, np.float64)))
+    if laser_id is not None:
+        fields.append(("laser_id", "u2", np.asarray(laser_id, np.uint16)))
+    if label is not None:
+        fields.append(("label", "u1", np.asarray(label, np.uint8)))
+
+    names = " ".join(f[0] for f in fields)
+    sizes = " ".join(str(np.dtype(f[1]).itemsize) for f in fields)
+    types = " ".join({"f": "F", "i": "I", "u": "U"}[np.dtype(f[1]).kind] for f in fields)
+    counts = " ".join("1" for _ in fields)
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\n"
+        f"FIELDS {names}\n"
+        f"SIZE {sizes}\n"
+        f"TYPE {types}\n"
+        f"COUNT {counts}\n"
+        f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
+        f"DATA {'binary' if binary else 'ascii'}\n"
+    )
+    rec = np.zeros(n, dtype=[(f[0], f[1]) for f in fields])
+    for name, _, data in fields:
+        rec[name] = data
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        if binary:
+            f.write(rec.tobytes())
+        else:
+            np.savetxt(f, np.stack([rec[name].astype(np.float64) for name, _, _ in fields], 1),
+                       fmt="%.7g")
+
+
+def load_pcd(path):
+    """Read a PCD file -> dict of field arrays (at least x/y/z -> 'xyz')."""
+    with open(path, "rb") as f:
+        header = {}
+        while True:
+            line = f.readline().decode("ascii", "replace").strip()
+            if line.startswith("#") or not line:
+                continue
+            key, _, val = line.partition(" ")
+            header[key] = val
+            if key == "DATA":
+                break
+        names = header["FIELDS"].split()
+        sizes = [int(s) for s in header["SIZE"].split()]
+        types = header["TYPE"].split()
+        counts = [int(c) for c in header.get("COUNT", " ".join("1" * len(names))).split()]
+        n = int(header["POINTS"])
+        dt = []
+        for name, t, s, c in zip(names, types, sizes, counts):
+            base = _DTYPES[(t, s)]
+            dt.append((name, base, (c,)) if c > 1 else (name, base))
+        if header["DATA"] == "binary":
+            rec = np.frombuffer(f.read(n * np.dtype(dt).itemsize), dtype=dt, count=n)
+        elif header["DATA"] == "ascii":
+            raw = np.loadtxt(f, ndmin=2)
+            rec = np.zeros(n, dtype=dt)
+            col = 0
+            for name, t, s, c in zip(names, types, sizes, counts):
+                rec[name] = raw[:, col] if c == 1 else raw[:, col:col + c]
+                col += c
+        else:
+            raise ValueError(f"unsupported PCD encoding {header['DATA']}")
+    out = {name: np.array(rec[name]) for name in names}
+    out["xyz"] = np.stack([out.pop("x"), out.pop("y"), out.pop("z")], axis=1).astype(np.float32)
+    return out

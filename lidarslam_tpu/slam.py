@@ -647,6 +647,47 @@ class Slam:
         self.PreviousTworld = self.Tworld.copy()
         self.current_keypoints = {}
 
+    def save_maps_to_pcd(self, file_prefix: str, binary: bool = True,
+                         clean: bool = False):
+        """Write one `<prefix><type>s.pcd` per enabled map
+        (Slam::SaveMapsToPCD, Slam.cxx:504-516)."""
+        from lidarslam_tpu.config import KEYPOINT_NAMES
+        from lidarslam_tpu.io import pcd
+
+        for k in self.cfg.used_types:
+            xyz, inten, t, fixed = voxel_map.gather_valid_points(
+                self.maps[k], clean, self.map_cfgs[k])
+            pcd.save_pcd(f"{file_prefix}{KEYPOINT_NAMES[k]}s.pcd",
+                         xyz + self.map_origin.astype(np.float32), intensity=inten,
+                         time=t, label=fixed.astype(np.uint8), binary=binary)
+
+    def load_maps_from_pcd(self, file_prefix: str, reset_maps: bool = True):
+        """Load per-type maps; points are fixed when the mapping mode keeps
+        the initial map immutable (Slam::LoadMapsFromPCD, Slam.cxx:519-543)."""
+        import os
+
+        from lidarslam_tpu.config import KEYPOINT_NAMES
+        from lidarslam_tpu.io import pcd
+
+        if reset_maps:
+            self.maps = {k: voxel_map.VoxelMap.empty(self.map_cfgs[k])
+                         for k in self.cfg.used_types}
+            self.map_origin = np.zeros(3)
+        fixed = self.cfg.mapping_mode in (MappingMode.NONE,
+                                          MappingMode.ADD_KPTS_TO_FIXED_MAP)
+        for k in self.cfg.used_types:
+            path = f"{file_prefix}{KEYPOINT_NAMES[k]}s.pcd"
+            if not os.path.exists(path):
+                continue
+            data = pcd.load_pcd(path)
+            pts = data["xyz"] - self.map_origin.astype(np.float32)
+            mc = self.map_cfgs[k]
+            inten = data.get("intensity", np.zeros(len(pts), np.float32))
+            self.maps[k] = voxel_map.add_points(
+                self.maps[k], jnp.asarray(pts), jnp.asarray(inten),
+                jnp.float32(0.0), jnp.ones(len(pts), bool), jnp.float32(0.0),
+                mc, fixed=fixed)
+
     def get_debug_information(self) -> dict:
         """Scalar debug metrics (Slam::GetDebugInformation, Slam.cxx:611-632)."""
         return {

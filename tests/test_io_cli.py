@@ -1,0 +1,111 @@
+"""PCD round-trip, CSV round-trip + golden comparison, CLI run/compare."""
+
+import os
+import subprocess
+import sys
+import json
+
+import numpy as np
+import pytest
+
+from lidarslam_tpu.core import se3
+from lidarslam_tpu.io import csv_log, pcd
+
+
+def test_pcd_roundtrip_binary(tmp_path):
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(100, 3)).astype(np.float32)
+    inten = rng.uniform(0, 255, 100).astype(np.float32)
+    lid = rng.integers(0, 16, 100).astype(np.uint16)
+    t = rng.uniform(0, 0.1, 100)
+    path = tmp_path / "cloud.pcd"
+    pcd.save_pcd(path, xyz, intensity=inten, time=t, laser_id=lid, binary=True)
+    data = pcd.load_pcd(path)
+    np.testing.assert_allclose(data["xyz"], xyz, atol=1e-6)
+    np.testing.assert_allclose(data["intensity"], inten, atol=1e-6)
+    np.testing.assert_array_equal(data["laser_id"], lid)
+    np.testing.assert_allclose(data["time"], t, atol=1e-12)
+
+
+def test_pcd_roundtrip_ascii(tmp_path):
+    xyz = np.array([[1.5, -2.25, 3.125], [0, 0, 0]], np.float32)
+    path = tmp_path / "a.pcd"
+    pcd.save_pcd(path, xyz, binary=False)
+    data = pcd.load_pcd(path)
+    np.testing.assert_allclose(data["xyz"], xyz, atol=1e-5)
+
+
+def test_poses_csv_roundtrip(tmp_path):
+    entries = [(0.1, se3.pose_to_hmat([1, 2, 3, 0.1, 0.2, 0.3])),
+               (0.2, se3.pose_to_hmat([4, 5, 6, -0.1, 0.05, 1.0]))]
+    path = tmp_path / "Poses.csv"
+    csv_log.write_poses_csv(path, entries)
+    back = csv_log.read_poses_csv(path)
+    for (t0, H0), (t1, H1) in zip(entries, back):
+        assert abs(t0 - t1) < 1e-9
+        np.testing.assert_allclose(H0, H1, atol=1e-7)
+
+
+def test_compare_to_reference_thresholds():
+    ref = [(i * 0.1, se3.pose_to_hmat([i * 0.2, 0, 0, 0, 0, 0])) for i in range(10)]
+    good = [(t, H.copy()) for t, H in ref]
+    good[3] = (good[3][0], se3.pose_to_hmat([3 * 0.2 + 0.005, 0, 0, 0, 0, 0]))
+    r = csv_log.compare_to_reference(good, ref)
+    assert r.success and r.max_position_error < 0.01
+    bad = [(t, H.copy()) for t, H in ref]
+    bad[5] = (bad[5][0], se3.pose_to_hmat([5 * 0.2 + 0.05, 0, 0, 0, 0, 0]))
+    r = csv_log.compare_to_reference(bad, ref)
+    assert not r.success
+
+
+def test_map_pcd_save_load(tmp_path):
+    from lidarslam_tpu import Slam
+    from lidarslam_tpu.config import ExtractorConfig, Keypoint, MapConfig, SlamConfig
+    from lidarslam_tpu.io import synthetic
+
+    cfg = SlamConfig(
+        extractor=ExtractorConfig(n_rings=16, max_ring_points=1024, max_keypoints=1024),
+        edge_map=MapConfig(leaf_size=0.30, capacity=1 << 15, grid_size=26),
+        plane_map=MapConfig(leaf_size=0.60, capacity=1 << 15, grid_size=26),
+        blob_map=MapConfig(leaf_size=0.30, capacity=1 << 15, grid_size=26))
+    frames = synthetic.generate_sequence(n_frames=4, motion_distortion=False)
+    slam = Slam(cfg)
+    for f in frames:
+        slam.add_frame(f)
+    prefix = str(tmp_path / "map_")
+    slam.save_maps_to_pcd(prefix)
+    n_before = len(slam.get_map_points(Keypoint.PLANE)[0])
+
+    slam2 = Slam(cfg)
+    slam2.load_maps_from_pcd(prefix)
+    pts, *_ = slam2.get_map_points(Keypoint.PLANE)
+    assert abs(len(pts) - n_before) <= n_before * 0.01
+    # localization-only against the loaded map works
+    slam2.set_world_transform_from_guess(slam.get_world_transform())
+    r = slam2.add_frame({**frames[-1], "stamp": frames[-1]["stamp"] + 0.1})
+    assert not r["failure"]
+    assert r["n_matches"] > 100
+
+
+def test_cli_run_and_compare(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    out1 = tmp_path / "run1"
+    cmd = [sys.executable, "-m", "lidarslam_tpu.cli", "--cpu", "run",
+           "--synthetic", "5", "--out", str(out1),
+           "--max-ring-points", "1024", "--max-keypoints", "1024"]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo",
+                       env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["frames"] == 5
+    assert (out1 / "Poses.csv").exists() and (out1 / "Evaluators.csv").exists()
+
+    # deterministic replay: the same run compares clean against itself
+    cmd = [sys.executable, "-m", "lidarslam_tpu.cli", "compare",
+           "--res", str(out1), "--ref", str(out1)]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo",
+                       env=env, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    cmp = json.loads(r.stdout.strip().splitlines()[-1])
+    assert cmp["success"] and cmp["n_compared"] == 5
