@@ -25,6 +25,12 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platform_name", "cpu")
+    # persistent compilation cache: TPU compiles over the tunnel are slow,
+    # so amortize them across bench invocations
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import numpy as np
     from lidarslam_tpu import Slam, SlamConfig

@@ -220,10 +220,11 @@ class SlamConfig:
 
     # sub-configs
     extractor: ExtractorConfig = ExtractorConfig()
-    # per-keypoint-type maps with reference leaf sizes (Slam.cxx:155-157)
-    edge_map: MapConfig = MapConfig(leaf_size=0.30)
-    plane_map: MapConfig = MapConfig(leaf_size=0.60)
-    blob_map: MapConfig = MapConfig(leaf_size=0.30)
+    # per-keypoint-type maps with reference leaf sizes (Slam.cxx:155-157);
+    # search rings sized for ~2.4 m guaranteed k-NN coverage per type
+    edge_map: MapConfig = MapConfig(leaf_size=0.30, search_rings=2)
+    plane_map: MapConfig = MapConfig(leaf_size=0.60, search_rings=1)
+    blob_map: MapConfig = MapConfig(leaf_size=0.30, search_rings=2)
     # ego-motion matching defaults (Slam.h:614-641)
     ego_matching: MatchingConfig = MatchingConfig(
         single_edge_per_ring=True,

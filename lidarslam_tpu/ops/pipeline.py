@@ -1,0 +1,281 @@
+"""The fused per-sweep pipeline: one jitted device call per frame.
+
+This is the TPU-first shape of `Slam::AddFrames` (Slam.cxx:230-344): keypoint
+extraction, optional scan-to-scan ego-motion ICP, scan-to-map localization
+ICP (with undistortion and sensor constraints), LCP overlap, the keyframe
+gate, and the rolling-map update all compile into a single XLA program. The
+host passes a handful of scalars/poses in and pulls a handful out — one
+dispatch and one sync per sweep, which is what keeps per-frame latency flat
+when the device sits behind a high-latency link, and lets XLA overlap every
+stage. Map buffers are donated by the caller so updates are in-place.
+
+Cross-frame device state (maps + previous keypoints for ego-motion
+registration) stays resident; the float64 world bookkeeping stays on the
+host (slam.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lidarslam_tpu import confidence as confidence_mod
+from lidarslam_tpu.config import EgoMotionMode, Keypoint, SlamConfig, UndistortionMode
+from lidarslam_tpu.core import se3
+from lidarslam_tpu.ops import extractor, icp, solver, undistortion, voxel_map
+from lidarslam_tpu.ops.frame import Keypoints, RangeImage
+
+
+class FrameInputs(NamedTuple):
+    """Per-frame traced scalars/poses (MAP-frame where positional)."""
+
+    trel_prior: jax.Array      # (6,) extrapolated ego-motion prior
+    prev_pose: jax.Array       # (6,) previous world pose, MAP frame
+    t_prev: jax.Array          # () previous frame stamp
+    stamp: jax.Array           # () current frame stamp
+    az_resolution: jax.Array   # () extractor azimuthal resolution [rad]
+    kf_last_pose: jax.Array    # (6,) last keyframe pose, MAP frame
+    kf_counter: jax.Array      # () int32
+    extras: tuple = ()         # sensor residual blocks (structure is static)
+
+
+class FrameResult(NamedTuple):
+    maps: tuple                # updated VoxelMap per type (None when unused)
+    keypoints: tuple           # raw Keypoints per type (device-resident)
+    pose: jax.Array            # (6,) optimized world pose, MAP frame
+    trel: jax.Array            # (6,) refined ego-motion estimate
+    failed: jax.Array          # () bool
+    total_matches: jax.Array   # () int32
+    match_counts: jax.Array    # (3,) int32
+    covariance: jax.Array      # (6, 6)
+    position_error: jax.Array  # () [m]
+    orientation_error: jax.Array  # () [deg]
+    roll_offset: jax.Array     # (3,) int32 — shared window shift applied
+    is_keyframe: jax.Array     # () bool
+    overlap: jax.Array         # () float (-1 when disabled)
+    warp: object               # final WarpParams or None
+    statuses: tuple            # (Q,) uint8 per used type
+    weights: tuple             # (Q,) f32 per used type
+
+
+def process_frame(
+    ri: RangeImage,
+    maps: tuple,               # VoxelMap per type (None when unused) — donated
+    prev_keypoints: tuple,     # Keypoints per type from the previous sweep (or None)
+    inp: FrameInputs,
+    cfg: SlamConfig,
+    map_cfgs: tuple,           # MapConfig per type (window-resolution snapped)
+    first_frame: bool,
+) -> FrameResult:
+    """Full per-sweep step. `cfg`, `map_cfgs`, `first_frame` are static."""
+    types = cfg.used_types
+    geoms = [None, None, None]
+    for t in types:
+        mc = map_cfgs[int(t)]
+        geoms[int(t)] = (voxel_map.half_extent(mc), mc.bucket_factor * mc.leaf_size,
+                         mc.search_rings)
+    geoms = tuple(geoms)
+
+    # ---------------- extraction ----------------
+    ext = extractor.extract_keypoints(ri, inp.az_resolution, cfg.extractor)
+    kps = (ext.edges, ext.planes, ext.blobs)
+
+    # ---------------- ego-motion registration (optional) ----------------
+    trel = inp.trel_prior
+    if cfg.ego_motion_mode in (EgoMotionMode.REGISTRATION,
+                               EgoMotionMode.MOTION_EXTRAPOLATION_AND_REGISTRATION) \
+            and prev_keypoints is not None and not first_frame:
+        ego_types = tuple(t for t in (Keypoint.EDGE, Keypoint.PLANE)
+                          if cfg.use_keypoints(t))
+        e_xyz = [None, None, None]
+        e_val = [None, None, None]
+        e_idx = [None, None, None]
+        for t in ego_types:
+            ti = int(t)
+            pk = prev_keypoints[ti]
+            e_xyz[ti] = kps[ti].xyz
+            e_val[ti] = kps[ti].valid
+            e_idx[ti] = voxel_map.build_point_index(
+                pk.xyz, pk.valid, geoms[ti][0], geoms[ti][1], ring=pk.ring)
+        ego = icp.icp_register(
+            icp.ICPInputs(kp_xyz=tuple(e_xyz), kp_valid=tuple(e_val),
+                          index=tuple(e_idx)),
+            types=ego_types, pose0=trel, params=cfg.ego_matching,
+            solver_cfg=cfg.solver, icp_iters=cfg.ego_motion_icp_max_iter,
+            lm_max_iter=cfg.ego_motion_lm_max_iter,
+            min_matches=cfg.min_nb_matched_keypoints, geoms=geoms)
+        trel = jnp.where(ego.failed, trel, ego.pose)
+
+    loc_prior = se3.jcompose_pose(inp.prev_pose, trel)
+
+    # ---------------- localization ----------------
+    if first_frame:
+        pose = loc_prior
+        failed = jnp.zeros((), bool)
+        total = jnp.zeros((), jnp.int32)
+        counts = jnp.zeros((3,), jnp.int32)
+        cov = jnp.zeros((6, 6))
+        pos_err = jnp.zeros(())
+        ori_err = jnp.zeros(())
+        warp = None
+        statuses = tuple(jnp.zeros(kps[int(t)].xyz.shape[0], jnp.uint8) for t in types)
+        wts = tuple(jnp.zeros(kps[int(t)].xyz.shape[0], jnp.float32) for t in types)
+        indices = None
+    else:
+        kp_xyz = [None, None, None]
+        kp_valid = [None, None, None]
+        kp_time = [None, None, None]
+        index = [None, None, None]
+        for t in types:
+            ti = int(t)
+            mc = map_cfgs[ti]
+            m = maps[ti]
+            if mc.decaying_threshold > 0:
+                m = voxel_map.clear_old_points(m, inp.stamp, mc)
+                maps = _set(maps, ti, m)
+            kp = kps[ti]
+            kp_xyz[ti] = kp.xyz
+            kp_valid[ti] = kp.valid
+            kp_time[ti] = kp.time
+            world = se3.japply_pose(loc_prior, kp.xyz)
+            big = jnp.float32(3e38)
+            bbox_min = jnp.min(jnp.where(kp.valid[:, None], world, big), axis=0)
+            bbox_max = jnp.max(jnp.where(kp.valid[:, None], world, -big), axis=0)
+            index[ti] = voxel_map.extract_submap_index(
+                m, bbox_min, bbox_max, (kp.count // 2).astype(jnp.int32), mc)
+        indices = index
+
+        undist_kwargs = {}
+        if cfg.undistortion != UndistortionMode.NONE:
+            tmin = jnp.float32(3e38)
+            tmax = jnp.float32(-3e38)
+            for t in types:
+                kp = kps[int(t)]
+                tmin = jnp.minimum(tmin, jnp.min(jnp.where(kp.valid, kp.time, 3e38)))
+                tmax = jnp.maximum(tmax, jnp.max(jnp.where(kp.valid, kp.time, -3e38)))
+            undist_kwargs = dict(
+                undistort_mode=cfg.undistortion, prev_pose=inp.prev_pose,
+                t_prev=inp.t_prev, t_cur=inp.stamp, time_range=(tmin, tmax),
+                max_extrapolation_ratio=cfg.max_extrapolation_ratio)
+
+        res = icp.icp_register(
+            icp.ICPInputs(kp_xyz=tuple(kp_xyz), kp_valid=tuple(kp_valid),
+                          index=tuple(index), kp_time=tuple(kp_time)),
+            types=types, pose0=loc_prior, params=cfg.loc_matching,
+            solver_cfg=cfg.solver, icp_iters=cfg.localization_icp_max_iter,
+            lm_max_iter=cfg.localization_lm_max_iter,
+            min_matches=cfg.min_nb_matched_keypoints, geoms=geoms,
+            extras=inp.extras, **undist_kwargs)
+
+        failed = res.failed
+        pose = jnp.where(failed, inp.prev_pose, res.pose)  # rollback (Slam.cxx:1098-1107)
+        total = res.total_matches
+        counts = res.match_counts
+        err = solver.registration_error(res.H)
+        cov = jnp.where(failed, jnp.zeros((6, 6)), err.covariance)
+        pos_err = err.position_error
+        ori_err = err.orientation_error
+        warp = res.warp
+        statuses = res.statuses
+        wts = res.weights
+        trel = jnp.where(failed, jnp.zeros(6),
+                         _relative_pose(inp.prev_pose, pose))
+
+    # ---------------- overlap (optional, static) ----------------
+    overlap = jnp.full((), -1.0)
+    if cfg.confidence.overlap_sampling_ratio > 0 and not first_frame:
+        overlap = _overlap(ri, pose, indices, cfg, map_cfgs, geoms, warp)
+
+    # ---------------- keyframe gate + map update ----------------
+    kf_motion = _relative_pose(inp.kf_last_pose, pose)
+    trans = jnp.linalg.norm(kf_motion[:3])
+    R_m, _ = se3.jpose_to_rt(kf_motion)
+    rot = jnp.arccos(jnp.clip((jnp.trace(R_m) - 1.0) / 2.0, -1.0, 1.0))
+    coef = jnp.minimum(inp.kf_counter.astype(jnp.float32) / 10.0, 1.0)
+    n_map_pts = sum(maps[int(t)].n_points for t in types)
+    is_kf = ((n_map_pts < cfg.min_nb_matched_keypoints * 10)
+             | (trans >= coef * cfg.kf_distance_threshold)
+             | (rot >= jnp.deg2rad(coef * cfg.kf_angle_threshold)))
+    do_update = is_kf & ~failed & (cfg.mapping_mode != 0)
+
+    # union world bbox of keypoints -> one shared roll offset
+    world_kp = [None, None, None]
+    bbox_min = jnp.full((3,), 3e38)
+    bbox_max = jnp.full((3,), -3e38)
+    for t in types:
+        ti = int(t)
+        kp = kps[ti]
+        base = kp.xyz
+        if warp is not None:
+            base = undistortion.warp_points(base, kp.time, warp)
+        w = se3.japply_pose(pose, base)
+        world_kp[ti] = w
+        bbox_min = jnp.minimum(bbox_min, jnp.min(
+            jnp.where(kp.valid[:, None], w, 3e38), axis=0))
+        bbox_max = jnp.maximum(bbox_max, jnp.max(
+            jnp.where(kp.valid[:, None], w, -3e38), axis=0))
+
+    shared_cfg = map_cfgs[int(types[0])]
+    res_m = voxel_map.effective_resolution(shared_cfg)
+    offset = voxel_map.compute_roll_offset(bbox_min, bbox_max, shared_cfg)
+    offset = jnp.where(do_update, offset, jnp.zeros(3, jnp.int32))
+
+    def update_map(ti):
+        m = voxel_map.roll_by_offset(maps[ti], offset, map_cfgs[ti])
+        kp = kps[ti]
+        shifted = world_kp[ti] - offset.astype(jnp.float32) * res_m
+        return voxel_map.add_points(m, shifted, kp.intensity, kp.time, kp.valid,
+                                    inp.stamp, map_cfgs[ti], fixed=False)
+
+    new_maps = [None, None, None]
+    for t in types:
+        ti = int(t)
+        new_maps[ti] = jax.lax.cond(do_update,
+                                    lambda ti=ti: update_map(ti),
+                                    lambda ti=ti: maps[ti])
+
+    return FrameResult(
+        maps=tuple(new_maps), keypoints=kps, pose=pose, trel=trel, failed=failed,
+        total_matches=total, match_counts=counts, covariance=cov,
+        position_error=pos_err, orientation_error=ori_err,
+        roll_offset=offset, is_keyframe=do_update, overlap=overlap, warp=warp,
+        statuses=statuses, weights=wts)
+
+
+def _relative_pose(pose_a, pose_b):
+    """xyzrpy of A^-1 B."""
+    Ra, ta = se3.jpose_to_rt(pose_a)
+    Rb, tb = se3.jpose_to_rt(pose_b)
+    R = Ra.T @ Rb
+    t = Ra.T @ (tb - ta)
+    return se3.jrt_to_pose(R, t)
+
+
+def _set(tup, i, v):
+    out = list(tup)
+    out[i] = v
+    return tuple(out)
+
+
+def _overlap(ri: RangeImage, pose, indices, cfg: SlamConfig, map_cfgs, geoms, warp):
+    """LCP overlap of a strided sample of the registered sweep."""
+    flat = ri.xyz.reshape(-1, 3)
+    valid = ri.valid.ravel()
+    n = flat.shape[0]
+    take = min(cfg.confidence.overlap_max_samples,
+               max(int(n * cfg.confidence.overlap_sampling_ratio), 1))
+    stride = max(n // take, 1)
+    sample = flat[::stride][:take]
+    svalid = valid[::stride][:take]
+    stime = ri.time.ravel()[::stride][:take]
+    if warp is not None:
+        sample = undistortion.warp_points(sample, stime, warp)
+    world = se3.japply_pose(pose, sample)
+    types = cfg.used_types
+    return confidence_mod.lcp_overlap(
+        world, svalid,
+        [indices[int(t)] for t in types],
+        [map_cfgs[int(t)].leaf_size for t in types],
+        [geoms[int(t)] for t in types])

@@ -146,14 +146,16 @@ def add_points(
     # existing fixed points always win their leaf (RollingGrid.cxx:218-219)
     prio = jnp.where(fix & ~is_new, -jnp.inf, prio)
 
-    srt = jax.lax.sort(
-        (kx, kyz, prio, order, xyz[:, 0], xyz[:, 1], xyz[:, 2], inten, tim,
-         cnt.astype(jnp.float32), fix, is_new),
-        num_keys=4,
-    )
-    skx, skyz, _, sorder, sx, sy, sz, sint, stim, scnt, sfix, snew = srt
-    sxyz = jnp.stack([sx, sy, sz], axis=-1)
-    scnt = scnt.astype(jnp.int32)
+    # sort only (keys, priority, row-id), then gather full rows once —
+    # much cheaper than dragging every attribute through the sort network
+    row = jnp.arange(N, dtype=jnp.int32)
+    skx, skyz, _, srow = jax.lax.sort((kx, kyz, prio, row), num_keys=4)
+    sxyz = xyz[srow]
+    sint = inten[srow]
+    stim = tim[srow]
+    scnt = cnt[srow]
+    sfix = fix[srow]
+    snew = is_new[srow]
 
     key_ok = skx != _BIGKEY
     first = key_ok & ~((skx == jnp.roll(skx, 1)) & (skyz == jnp.roll(skyz, 1)))
@@ -191,20 +193,17 @@ def add_points(
     out_cnt = jnp.where(first, old_cnt[w_seg] + touched.astype(jnp.int32), scnt)
 
     # --- compact winners into the first M slots (stable keeps key order) ---
-    not_winner = ~first
-    comp = jax.lax.sort(
-        (not_winner.astype(jnp.int32), out_xyz[:, 0], out_xyz[:, 1], out_xyz[:, 2],
-         sint, out_time, out_cnt.astype(jnp.float32), out_fix, first),
-        num_keys=1, is_stable=True,
-    )
-    _, cx, cy, cz, cint, ctim, ccnt, cfix, cfirst = comp
+    not_winner = (~first).astype(jnp.int32)
+    row2 = jnp.arange(N, dtype=jnp.int32)
+    _, crow = jax.lax.sort((not_winner, row2), num_keys=1, is_stable=True)
+    crow = crow[:M]
     return VoxelMap(
-        xyz=jnp.stack([cx, cy, cz], axis=-1)[:M],
-        intensity=cint[:M],
-        time=ctim[:M],
-        count=ccnt.astype(jnp.int32)[:M],
-        fixed=cfix[:M],
-        valid=cfirst[:M],
+        xyz=out_xyz[crow],
+        intensity=sint[crow],
+        time=out_time[crow],
+        count=out_cnt[crow],
+        fixed=out_fix[crow],
+        valid=first[crow],
     )
 
 
@@ -215,19 +214,32 @@ def roll(vmap_: VoxelMap, bbox_min, bbox_max, cfg: MapConfig):
     Returns (rolled map, voxel offset (3,) i32). The caller must advance its
     float64 origin by `offset * effective_resolution`.
     """
+    vox_offset = compute_roll_offset(bbox_min, bbox_max, cfg)
+    return roll_by_offset(vmap_, vox_offset, cfg), vox_offset
+
+
+def compute_roll_offset(bbox_min, bbox_max, cfg: MapConfig):
+    """Whole-voxel window shift needed to fit [bbox_min, bbox_max] (Roll
+    117-130 math), usable standalone so several maps sharing the window
+    resolution can apply one common offset."""
     res = effective_resolution(cfg)
     half = half_extent(cfg)
     down = bbox_min - (-half)
     up = bbox_max - half
     offset = (up + down) / 2.0
     offset = jnp.clip(offset, jnp.minimum(down, 0.0), jnp.maximum(up, 0.0))
-    vox_offset = jnp.round(offset / res).astype(jnp.int32)
+    return jnp.round(offset / res).astype(jnp.int32)
 
+
+def roll_by_offset(vmap_: VoxelMap, vox_offset, cfg: MapConfig) -> VoxelMap:
+    """Apply a precomputed whole-voxel window shift."""
+    res = effective_resolution(cfg)
+    half = half_extent(cfg)
     vi = jnp.floor((vmap_.xyz + half) / res).astype(jnp.int32)
     vi_new = vi - vox_offset
     keep = vmap_.valid & jnp.all((vi_new >= 0) & (vi_new < cfg.grid_size), axis=-1)
     new_xyz = vmap_.xyz - vox_offset.astype(jnp.float32) * res
-    return vmap_._replace(xyz=new_xyz, valid=keep), vox_offset
+    return vmap_._replace(xyz=new_xyz, valid=keep)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -302,35 +314,52 @@ def _neighbor_cells(rings: int):
 
 
 @partial(jax.jit, static_argnames=("k", "half", "bucket_size", "search_rings",
-                                   "bucket_capacity", "chunk"))
+                                   "bucket_capacity", "chunk", "max_cells"))
 def knn_query(index: PointIndex, queries, k: int, half: float, bucket_size: float,
-              search_rings: int = 1, bucket_capacity: int = 64, chunk: int = 512):
+              search_rings: int = 1, bucket_capacity: int = 64, chunk: int = 512,
+              max_cells: int = 32):
     """k nearest indexed points of each query within the searched bucket ring.
 
     Returns (sq_dists (Q, k) — +inf for missing, idx (Q, k) into the sorted
     index arrays). Queries are processed in chunks to bound the candidate
-    matrix ((chunk, cells*cap)) living in VMEM/registers.
+    matrix ((chunk, cells*cap)). When the ring has more than `max_cells`
+    cells, only the cells nearest the query (by axis-aligned cell distance)
+    are gathered — the k nearest points of a spinning-LiDAR map practically
+    always live in the nearest few dozen cells.
     """
     nb = _bucket_params(half, bucket_size)
     cells = np.asarray(_neighbor_cells(search_rings), np.int32)  # (C, 3)
+    n_cells = len(cells)
+    prune = n_cells > max_cells
     Q = queries.shape[0]
+    chunk = min(chunk, max(Q, 1))
     pad = (-Q) % chunk
     qpad = jnp.concatenate([queries, jnp.zeros((pad, 3), queries.dtype)]) if pad else queries
 
     def one_chunk(qc):
+        nq = qc.shape[0]
         bi = jnp.floor((qc + half) / bucket_size).astype(jnp.int32)  # (q, 3)
         cb = bi[:, None, :] + cells[None, :, :]                      # (q, C, 3)
         cell_ok = jnp.all((cb >= 0) & (cb < nb), axis=-1)
         ckey = (cb[..., 0] * nb + cb[..., 1]) * nb + cb[..., 2]
         ckey = jnp.where(cell_ok, ckey, -1)
-        start = jnp.searchsorted(index.keys, ckey)                   # (q, C)
+        if prune:
+            # squared axis-aligned distance from the query to each cell's box
+            lo = cb.astype(qc.dtype) * bucket_size - half
+            d_ax = jnp.maximum(lo - qc[:, None, :],
+                               jnp.maximum(qc[:, None, :] - (lo + bucket_size), 0.0))
+            cell_d2 = jnp.sum(jnp.maximum(d_ax, 0.0) ** 2, axis=-1)
+            cell_d2 = jnp.where(cell_ok, cell_d2, jnp.inf)
+            _, keep = jax.lax.top_k(-cell_d2, max_cells)             # (q, max_cells)
+            ckey = jnp.take_along_axis(ckey, keep, axis=1)
+        start = jnp.searchsorted(index.keys, ckey)                   # (q, C')
         end = jnp.searchsorted(index.keys, ckey, side="right")
         span = jnp.arange(bucket_capacity, dtype=jnp.int32)
-        cand = start[..., None] + span                               # (q, C, cap)
+        cand = start[..., None] + span                               # (q, C', cap)
         cand_ok = cand < end[..., None]
         cand = jnp.clip(cand, 0, index.xyz.shape[0] - 1)
-        cflat = cand.reshape(qc.shape[0], -1)
-        okflat = cand_ok.reshape(qc.shape[0], -1)
+        cflat = cand.reshape(nq, -1)
+        okflat = cand_ok.reshape(nq, -1)
         nbr = index.xyz[cflat]                                       # (q, CC, 3)
         d2 = jnp.sum((nbr - qc[:, None, :]) ** 2, axis=-1)
         d2 = jnp.where(okflat, d2, jnp.inf)

@@ -1,10 +1,12 @@
 """SLAM orchestrator: the per-sweep state machine.
 
 Python-host re-design of the reference `Slam` class (Slam.h:110-394,
-Slam.cxx:230-344): per frame it runs check -> extract keypoints -> ego-motion
--> localization -> confidence -> map update -> logging. All numerics run in
-jitted device kernels on fixed-shape arrays; the host keeps float64 pose
-bookkeeping, the trajectory log, keyframe state, and the rolling-map origin.
+Slam.cxx:230-344). All per-sweep numerics — extraction, ego-motion
+registration, scan-to-map ICP, undistortion, confidence, keyframe gating and
+map updates — run as ONE fused jitted device call per frame
+(ops/pipeline.process_frame) with donated map buffers; the host keeps float64
+pose bookkeeping, the trajectory log, sensor managers, and the rolling-map
+origin.
 
 Coordinate frames:
 - BASE: sensor platform frame of the current sweep (keypoints live here).
@@ -18,8 +20,8 @@ Coordinate frames:
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from functools import partial
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -27,12 +29,11 @@ import jax
 import jax.numpy as jnp
 
 from lidarslam_tpu import confidence as confidence_mod
-from lidarslam_tpu.config import (EgoMotionMode, Keypoint, MappingMode, MatchStatus,
-                                  SlamConfig)
+from lidarslam_tpu.config import (EgoMotionMode, Keypoint, MappingMode, SlamConfig)
 from lidarslam_tpu.core import se3
-from lidarslam_tpu.ops import extractor, icp, solver, undistortion, voxel_map
+from lidarslam_tpu.ops import pipeline, undistortion, voxel_map
 from lidarslam_tpu.ops.frame import Keypoints, build_range_image, estimate_azimuthal_resolution
-from lidarslam_tpu.sensors.constraints import ImuManager, WheelOdometryManager
+from lidarslam_tpu.sensors.constraints import ImuManager, OdomResidual, WheelOdometryManager
 
 
 def _shared_resolution(cfg: SlamConfig) -> float:
@@ -63,9 +64,14 @@ class Slam:
 
         # snap every map's voxel resolution to the shared rolling quantum
         shared_res = _shared_resolution(cfg)
-        self.map_cfgs = {k: cfg.map_config(k).__class__(
-            **{**cfg.map_config(k).__dict__, "voxel_resolution": shared_res})
-            for k in cfg.used_types}
+        self.map_cfgs = {k: dataclasses.replace(cfg.map_config(k),
+                                                voxel_resolution=shared_res)
+                         for k in cfg.used_types}
+        self._map_cfgs_tuple = tuple(
+            self.map_cfgs.get(Keypoint(i),
+                              dataclasses.replace(cfg.map_config(Keypoint(i)),
+                                                  voxel_resolution=shared_res))
+            for i in range(3))
         self.half = voxel_map.half_extent(next(iter(self.map_cfgs.values())))
         self.geoms = {}
         for k in cfg.used_types:
@@ -74,14 +80,11 @@ class Slam:
 
         self.reset()
 
-        # jitted entry points (configs are static)
-        self._extract = jax.jit(extractor.extract_keypoints, static_argnums=(2,))
-        self._icp = jax.jit(icp.icp_register,
-                            static_argnames=("types", "params", "solver_cfg", "icp_iters",
-                                             "lm_max_iter", "min_matches", "geoms",
-                                             "undistort_mode", "max_extrapolation_ratio"))
+        self._process = jax.jit(
+            pipeline.process_frame,
+            static_argnames=("cfg", "map_cfgs", "first_frame"),
+            donate_argnums=(1,))
         self._warp_points = jax.jit(undistortion.warp_points)
-        self._registration_error = jax.jit(solver.registration_error)
 
     # ------------------------------------------------------------------
     # State
@@ -106,11 +109,12 @@ class Slam:
         self.latency = 0.0
         self.azimuthal_resolution = cfg.extractor.azimuthal_resolution
         self.current_keypoints: Dict[Keypoint, Keypoints] = {}
-        self.previous_keypoints: Dict[Keypoint, Keypoints] = {}
-        self.current_warp = None  # within-sweep undistortion of the last frame
+        self.current_warp = None
         self.last_stamp = None
         self.last_seq = None
         self.failure = False
+        self._device_keypoints = None   # previous sweep's Keypoints (device)
+        self._maps_populated = False    # host-side: any map has points
         self.motion_checker = confidence_mod.MotionLimitChecker(
             cfg.confidence.time_window_duration, cfg.confidence.velocity_limits,
             cfg.confidence.acceleration_limits)
@@ -118,11 +122,14 @@ class Slam:
                                                cfg.wheel_odom_relative,
                                                cfg.sensor_time_offset)
         self.imu = ImuManager(cfg.imu_weight, cfg.sensor_time_offset)
-        self._sensor_extras = ()
         if reset_log:
             self.n_frames = 0
             self.log_trajectory: List[dict] = []  # {time, pose (4,4), covariance}
-            self.log_keypoints: List[dict] = []
+            self.log_keypoints: List[dict] = []   # device Keypoints per type
+
+    def _empty_keypoints(self):
+        cap = self.cfg.extractor.max_keypoints
+        return tuple(Keypoints.empty(cap) for _ in range(3))
 
     # ------------------------------------------------------------------
     # Main entry
@@ -149,47 +156,98 @@ class Slam:
         self.last_seq = frame.get("seq")
         stamp = float(frame["stamp"])
 
-        # ---- keypoint extraction ----
+        # ---- host-side input conversion ----
         ri = build_range_image(frame["xyz"], frame["intensity"], frame["laser_id"],
                                frame["time"], cfg.extractor.n_rings,
                                cfg.extractor.max_ring_points)
         if self.azimuthal_resolution <= 1e-6 or self.azimuthal_resolution > np.pi / 4:
             self.azimuthal_resolution = float(estimate_azimuthal_resolution(ri))
-        ext = self._extract(ri, jnp.float32(self.azimuthal_resolution), cfg.extractor)
-        self.previous_keypoints = self.current_keypoints
-        self.current_keypoints = {Keypoint.EDGE: ext.edges, Keypoint.PLANE: ext.planes,
-                                  Keypoint.BLOB: ext.blobs}
 
-        # ---- ego-motion ----
-        self._compute_ego_motion(stamp)
+        # ---- ego-motion extrapolation (host, Slam.cxx:813-836) ----
+        trel_prior = np.eye(4)
+        if len(self.log_trajectory) >= 2 and cfg.ego_motion_mode in (
+                EgoMotionMode.MOTION_EXTRAPOLATION,
+                EgoMotionMode.MOTION_EXTRAPOLATION_AND_REGISTRATION):
+            t1 = self.log_trajectory[-1]["time"]
+            tp0 = self.log_trajectory[-2]["time"]
+            if abs((stamp - t1) / max(t1 - tp0, 1e-12)) > cfg.max_extrapolation_ratio:
+                self._log("extrapolation time too far; skipping prediction")
+            else:
+                nxt = se3.interpolate_hmat(self.PreviousTworld, self.Tworld, stamp, tp0, t1)
+                trel_prior = se3.hmat_inverse(self.Tworld) @ nxt
 
-        # ---- sensor constraints (Slam::ComputeSensorConstraints, 347-352) ----
+        # ---- sensor constraints (Slam::ComputeSensorConstraints) ----
         extras = []
         if self.wheel_odom.can_be_used():
             r = self.wheel_odom.compute_constraint(stamp)
             if r is not None:
-                extras.append(r)
+                extras.append(r._replace(
+                    prev_pos=r.prev_pos - jnp.asarray(self.map_origin, jnp.float32)))
         if self.imu.can_be_used():
             r = self.imu.compute_constraint(stamp)
             if r is not None:
                 extras.append(r)
-        self._sensor_extras = tuple(extras)
 
-        # ---- localization ----
-        loc = self._localize(stamp)
+        # ---- fused device step ----
+        prev_rel = self.Tworld.copy()
+        prev_rel[:3, 3] -= self.map_origin
+        kf_rel = self.kf_last_pose.copy()
+        kf_rel[:3, 3] -= self.map_origin
+        t_prev = self.log_trajectory[-1]["time"] if self.log_trajectory else stamp
+        inp = pipeline.FrameInputs(
+            trel_prior=jnp.asarray(se3.hmat_to_pose(trel_prior), jnp.float32),
+            prev_pose=jnp.asarray(se3.hmat_to_pose(prev_rel), jnp.float32),
+            t_prev=jnp.float32(t_prev),
+            stamp=jnp.float32(stamp),
+            az_resolution=jnp.float32(self.azimuthal_resolution),
+            kf_last_pose=jnp.asarray(se3.hmat_to_pose(kf_rel), jnp.float32),
+            kf_counter=jnp.int32(self.kf_counter),
+            extras=tuple(extras))
+        first = not self._maps_populated
+        maps_in = tuple(self.maps.get(Keypoint(i)) for i in range(3))
+        prev_kp = self._device_keypoints if self._device_keypoints is not None \
+            else self._empty_keypoints()
+        res = self._process(ri, maps_in, prev_kp, inp, cfg, self._map_cfgs_tuple, first)
 
-        # ---- confidence ----
-        if cfg.confidence.overlap_sampling_ratio > 0 and not self.failure:
-            self.overlap = self._estimate_overlap(frame, loc.get("indices", {}))
+        # ---- one host sync for the scalar outputs ----
+        pose_rel, trel, failed, total, counts, cov, roll_offset, is_kf, overlap = \
+            jax.device_get((res.pose, res.trel, res.failed, res.total_matches,
+                            res.match_counts, res.covariance, res.roll_offset,
+                            res.is_keyframe, res.overlap))
+
+        # ---- host bookkeeping ----
+        self.maps = {k: res.maps[int(k)] for k in cfg.used_types}
+        self._device_keypoints = res.keypoints
+        self.current_keypoints = {Keypoint(i): res.keypoints[i] for i in range(3)}
+        self.current_warp = res.warp
+        self.failure = bool(failed)
+        self.total_matched_keypoints = int(total)
+        self.match_counts = np.asarray(counts, np.int64)
+        self.overlap = float(overlap)
+        if self.failure:
+            self._log("not enough keypoints matched; localization skipped")
+
+        self.PreviousTworld = self.Tworld.copy()
+        Tnew = se3.pose_to_hmat(np.asarray(pose_rel, np.float64))
+        Tnew[:3, 3] += self.map_origin
+        self.Tworld = Tnew
+        self.Trelative = se3.pose_to_hmat(np.asarray(trel, np.float64))
+        self.covariance = np.asarray(cov, np.float64)
+        if bool(is_kf):
+            self.kf_counter += 1
+            self.kf_last_pose = self.Tworld.copy()
+            self._maps_populated = True
+        shift = np.asarray(roll_offset, np.float64) * voxel_map.effective_resolution(
+            self._map_cfgs_tuple[int(cfg.used_types[0])])
+        self.map_origin = self.map_origin + shift
+        if cfg.wheel_odom_relative and not self.failure:
+            self.wheel_odom.set_reference_pose(self.Tworld[:3, 3])
+
+        # ---- confidence (host) ----
         if cfg.confidence.time_window_duration > 0:
             status = self.motion_checker.check(
                 [(e["time"], e["pose"]) for e in self.log_trajectory], self.Tworld, stamp)
             self.comply_motion_limits = status.comply
-
-        # ---- map update ----
-        if cfg.mapping_mode in (MappingMode.ADD_KPTS_TO_FIXED_MAP, MappingMode.UPDATE) \
-                and not self.failure:
-            self._update_maps(stamp)
 
         # ---- logging ----
         self._log_state(stamp)
@@ -206,275 +264,10 @@ class Slam:
             "duration": self.latency,
         }
 
-    # ------------------------------------------------------------------
-    # Pipeline stages
-    # ------------------------------------------------------------------
-
-    def _compute_ego_motion(self, stamp):
-        """Constant-velocity extrapolation (Slam.cxx:813-836); scan-to-scan
-        registration refinement when enabled (844-954)."""
-        cfg = self.cfg
-        self.Trelative = np.eye(4)
-        if len(self.log_trajectory) >= 2 and cfg.ego_motion_mode in (
-                EgoMotionMode.MOTION_EXTRAPOLATION,
-                EgoMotionMode.MOTION_EXTRAPOLATION_AND_REGISTRATION):
-            t1 = self.log_trajectory[-1]["time"]
-            t0 = self.log_trajectory[-2]["time"]
-            if abs((stamp - t1) / max(t1 - t0, 1e-12)) > cfg.max_extrapolation_ratio:
-                self._log("extrapolation time too far; skipping prediction")
-            else:
-                next_est = se3.interpolate_hmat(self.PreviousTworld, self.Tworld,
-                                                stamp, t0, t1)
-                self.Trelative = se3.hmat_inverse(self.Tworld) @ next_est
-
-        if cfg.ego_motion_mode in (EgoMotionMode.REGISTRATION,
-                                   EgoMotionMode.MOTION_EXTRAPOLATION_AND_REGISTRATION):
-            self._ego_motion_registration()
-
-    def _ego_motion_registration(self):
-        """Scan-to-scan ICP against the previous sweep's raw keypoints."""
-        cfg = self.cfg
-        prev = self.previous_keypoints
-        if not prev or all(int(prev[k].count) == 0 for k in (Keypoint.EDGE, Keypoint.PLANE)):
-            return
-        types = tuple(t for t in (Keypoint.EDGE, Keypoint.PLANE) if cfg.use_keypoints(t))
-        # index previous keypoints around the current position (BASE frame of
-        # the previous sweep; Trelative maps current BASE into it)
-        kp_xyz = [None, None, None]
-        kp_valid = [None, None, None]
-        index = [None, None, None]
-        geoms = [None, None, None]
-        for t in types:
-            cur = self.current_keypoints[t]
-            kp_xyz[int(t)] = cur.xyz
-            kp_valid[int(t)] = cur.valid
-            mc = self.map_cfgs.get(t) or next(iter(self.map_cfgs.values()))
-            bucket = mc.bucket_factor * mc.leaf_size
-            index[int(t)] = voxel_map.build_point_index(
-                prev[t].xyz, prev[t].valid, self.half, bucket, ring=prev[t].ring)
-            geoms[int(t)] = (self.half, bucket, mc.search_rings)
-        res = self._icp(
-            icp.ICPInputs(kp_xyz=tuple(kp_xyz), kp_valid=tuple(kp_valid), index=tuple(index)),
-            types=types,
-            pose0=jnp.asarray(se3.hmat_to_pose(self.Trelative), jnp.float32),
-            params=cfg.ego_matching, solver_cfg=cfg.solver,
-            icp_iters=cfg.ego_motion_icp_max_iter, lm_max_iter=cfg.ego_motion_lm_max_iter,
-            min_matches=cfg.min_nb_matched_keypoints, geoms=tuple(geoms))
-        if not bool(res.failed):
-            self.Trelative = se3.pose_to_hmat(np.asarray(res.pose, np.float64))
-
-    def _localize(self, stamp) -> dict:
-        """Scan-to-map registration (Slam::Localization, Slam.cxx:975-1175)."""
-        cfg = self.cfg
-        self.failure = False
-        self.PreviousTworld = self.Tworld.copy()
-        self.Tworld = self.PreviousTworld @ self.Trelative
-
-        prior_rel = self.Tworld.copy()
-        prior_rel[:3, 3] -= self.map_origin
-        pose0 = se3.hmat_to_pose(prior_rel)
-
-        any_map = any(int(self.maps[k].n_points) > 0 for k in cfg.used_types)
-        if not any_map:
-            # first frame: nothing to register against
-            self.total_matched_keypoints = 0
-            return {}
-
-        types = cfg.used_types
-        kp_xyz = [None, None, None]
-        kp_valid = [None, None, None]
-        kp_time = [None, None, None]
-        index = [None, None, None]
-        geoms = [None, None, None]
-        indices = {}
-        for t in types:
-            mc = self.map_cfgs[t]
-            if mc.decaying_threshold > 0:
-                self.maps[t] = voxel_map.clear_old_points(self.maps[t], jnp.float32(stamp), mc)
-            kp = self.current_keypoints[t]
-            kp_xyz[int(t)] = kp.xyz
-            kp_valid[int(t)] = kp.valid
-            kp_time[int(t)] = kp.time
-            # world-frame bbox of current keypoints under the prior
-            world = se3.japply_pose(jnp.asarray(pose0, jnp.float32), kp.xyz)
-            big = jnp.float32(3e38)
-            bbox_min = jnp.min(jnp.where(kp.valid[:, None], world, big), axis=0)
-            bbox_max = jnp.max(jnp.where(kp.valid[:, None], world, -big), axis=0)
-            idx = voxel_map.extract_submap_index(
-                self.maps[t], bbox_min, bbox_max, (kp.count // 2).astype(jnp.int32), mc)
-            index[int(t)] = idx
-            indices[t] = idx
-            geoms[int(t)] = self.geoms[t]
-
-        undistort_kwargs = {}
-        if cfg.undistortion != 0:
-            # sweep time range across all used keypoint types (InitUndistortion,
-            # Slam.cxx:1288-1319)
-            tmin = jnp.float32(3e38)
-            tmax = jnp.float32(-3e38)
-            for t in types:
-                kp = self.current_keypoints[t]
-                tmin = jnp.minimum(tmin, jnp.min(jnp.where(kp.valid, kp.time, 3e38)))
-                tmax = jnp.maximum(tmax, jnp.max(jnp.where(kp.valid, kp.time, -3e38)))
-            prev_rel = self.PreviousTworld.copy()
-            prev_rel[:3, 3] -= self.map_origin
-            t_prev = self.log_trajectory[-1]["time"] if self.log_trajectory else stamp
-            undistort_kwargs = dict(
-                undistort_mode=cfg.undistortion,
-                prev_pose=jnp.asarray(se3.hmat_to_pose(prev_rel), jnp.float32),
-                t_prev=jnp.float32(t_prev), t_cur=jnp.float32(stamp),
-                time_range=(tmin, tmax),
-                max_extrapolation_ratio=cfg.max_extrapolation_ratio)
-
-        res = self._icp(
-            icp.ICPInputs(kp_xyz=tuple(kp_xyz), kp_valid=tuple(kp_valid), index=tuple(index),
-                          kp_time=tuple(kp_time)),
-            types=types, pose0=jnp.asarray(pose0, jnp.float32),
-            params=cfg.loc_matching, solver_cfg=cfg.solver,
-            icp_iters=cfg.localization_icp_max_iter, lm_max_iter=cfg.localization_lm_max_iter,
-            min_matches=cfg.min_nb_matched_keypoints, geoms=tuple(geoms),
-            extras=self._rebase_extras(self._sensor_extras),
-            **undistort_kwargs)
-        self.current_warp = res.warp
-
-        self.total_matched_keypoints = int(res.total_matches)
-        self.match_counts = np.asarray(res.match_counts, np.int64)
-        if bool(res.failed):
-            # rollback to avoid instability (Slam.cxx:1098-1107)
-            self.failure = True
-            self.Trelative = np.eye(4)
-            self.Tworld = self.PreviousTworld.copy()
-            self._log("not enough keypoints matched; localization skipped")
-            return {"indices": indices}
-
-        opt = np.asarray(res.pose, np.float64)
-        Trel_world = se3.pose_to_hmat(opt)
-        Trel_world[:3, 3] += self.map_origin
-        self.Tworld = Trel_world
-        self.Trelative = se3.hmat_inverse(self.PreviousTworld) @ self.Tworld
-        if self.cfg.wheel_odom_relative:
-            self.wheel_odom.set_reference_pose(self.Tworld[:3, 3])
-        err = self._registration_error(res.H)
-        self.covariance = np.asarray(err.covariance, np.float64)
-        self._last_icp = res
-        return {"indices": indices}
-
-    def _rebase_extras(self, extras):
-        """Shift world-frame sensor residual references into MAP coordinates."""
-        from lidarslam_tpu.sensors.constraints import OdomResidual
-
-        out = []
-        for ex in extras:
-            if isinstance(ex, OdomResidual):
-                ex = ex._replace(prev_pos=ex.prev_pos
-                                 - jnp.asarray(self.map_origin, jnp.float32))
-            out.append(ex)
-        return tuple(out)
-
-    # ------------------------------------------------------------------
-    # External sensor API (Slam.cxx:1584-1598)
-    # ------------------------------------------------------------------
-
-    def add_wheel_odom_measurement(self, time: float, distance: float):
-        self.wheel_odom.add_measurement(time, distance)
-
-    def add_gravity_measurement(self, time: float, acceleration):
-        self.imu.add_measurement(time, acceleration)
-
-    def clear_sensor_measurements(self):
-        self.wheel_odom.reset()
-        self.imu.reset()
-
-    def _estimate_overlap(self, frame, indices) -> float:
-        """LCP overlap of the registered scan on the submaps
-        (Slam::EstimateOverlap, Slam.cxx:1370-1388)."""
-        cfg = self.cfg
-        if not indices:
-            return -1.0
-        ratio = cfg.confidence.overlap_sampling_ratio
-        n = len(frame["xyz"])
-        take = min(int(n * ratio), cfg.confidence.overlap_max_samples)
-        if take == 0:
-            return -1.0
-        sel = np.linspace(0, n - 1, take).astype(np.int64)
-        pts = np.zeros((cfg.confidence.overlap_max_samples, 3), np.float32)
-        pts[:take] = frame["xyz"][sel]
-        valid = np.arange(cfg.confidence.overlap_max_samples) < take
-        rel = self.Tworld.copy()
-        rel[:3, 3] -= self.map_origin
-        world = se3.japply_pose(jnp.asarray(se3.hmat_to_pose(rel), jnp.float32),
-                                jnp.asarray(pts))
-        types = [t for t in indices]
-        overlap = confidence_mod.lcp_overlap(
-            world, jnp.asarray(valid),
-            [indices[t] for t in types],
-            [self.map_cfgs[t].leaf_size for t in types],
-            [self.geoms[t] for t in types])
-        return float(overlap)
-
-    def _update_maps(self, stamp):
-        """Keyframe gate + rolling-map insertion (Slam::UpdateMapsUsingTworld,
-        Slam.cxx:1178-1222)."""
-        cfg = self.cfg
-        motion = se3.hmat_inverse(self.kf_last_pose) @ self.Tworld
-        trans = np.linalg.norm(motion[:3, 3])
-        rot = confidence_mod._rotation_angle(motion[:3, :3])
-        coef = min(self.kf_counter / 10.0, 1.0)
-        n_map_pts = sum(int(self.maps[k].n_points) for k in cfg.used_types)
-        is_kf = (n_map_pts < cfg.min_nb_matched_keypoints * 10
-                 or trans >= coef * cfg.kf_distance_threshold
-                 or rot >= np.deg2rad(coef * cfg.kf_angle_threshold))
-        if not is_kf:
-            return
-        self.kf_counter += 1
-        self.kf_last_pose = self.Tworld.copy()
-
-        rel = self.Tworld.copy()
-        rel[:3, 3] -= self.map_origin
-        pose_rel = jnp.asarray(se3.hmat_to_pose(rel), jnp.float32)
-
-        # union bbox of all world keypoints -> one shared roll offset
-        bbox_min = np.full(3, np.inf, np.float32)
-        bbox_max = np.full(3, -np.inf, np.float32)
-        world_kp = {}
-        for t in cfg.used_types:
-            kp = self.current_keypoints[t]
-            base = kp.xyz
-            if self.current_warp is not None:
-                base = self._warp_points(base, kp.time, self.current_warp)
-            world = se3.japply_pose(pose_rel, base)
-            world_kp[t] = world
-            big = jnp.float32(3e38)
-            bbox_min = np.minimum(bbox_min, np.asarray(
-                jnp.min(jnp.where(kp.valid[:, None], world, big), axis=0)))
-            bbox_max = np.maximum(bbox_max, np.asarray(
-                jnp.max(jnp.where(kp.valid[:, None], world, -big), axis=0)))
-
-        shared_offset = None
-        for t in cfg.used_types:
-            mc = self.map_cfgs[t]
-            rolled, off = voxel_map.roll(self.maps[t], jnp.asarray(bbox_min),
-                                         jnp.asarray(bbox_max), mc)
-            self.maps[t] = rolled
-            if shared_offset is None:
-                shared_offset = np.asarray(off, np.int64)
-        res = voxel_map.effective_resolution(next(iter(self.map_cfgs.values())))
-        shift = shared_offset.astype(np.float64) * res
-        self.map_origin = self.map_origin + shift
-
-        fixed_add = cfg.mapping_mode == MappingMode.ADD_KPTS_TO_FIXED_MAP
-        for t in cfg.used_types:
-            kp = self.current_keypoints[t]
-            mc = self.map_cfgs[t]
-            shifted = world_kp[t] - jnp.asarray(shift, jnp.float32)
-            self.maps[t] = voxel_map.add_points(
-                self.maps[t], shifted, kp.intensity, kp.time, kp.valid,
-                jnp.float32(stamp), mc, fixed=False)
-            _ = fixed_add  # fixed-map semantics apply to *loaded* maps, not live inserts
-
     def _log_state(self, stamp):
         """Trajectory/covariance/keypoint logging with timeout pruning
-        (Slam::LogCurrentFrameState, Slam.cxx:1225-1264)."""
+        (Slam::LogCurrentFrameState, Slam.cxx:1225-1264). Keypoint logs keep
+        device array references; they are pulled to host lazily (PGO)."""
         cfg = self.cfg
         entry = {"time": stamp, "pose": self.Tworld.copy(),
                  "covariance": self.covariance.copy()}
@@ -490,8 +283,7 @@ class Slam:
                     self.log_keypoints.pop(0)
         if cfg.logging_timeout != 0:
             self.log_keypoints.append(
-                {k: jax.tree.map(np.asarray, self.current_keypoints[k])
-                 for k in cfg.used_types})
+                {k: self.current_keypoints[k] for k in cfg.used_types})
 
     # ------------------------------------------------------------------
     # Pose-graph optimization (Slam::RunPoseGraphOptimization, 355-487)
@@ -527,8 +319,7 @@ class Slam:
             verbose=cfg.verbosity >= 2)
 
         # re-anchor the world frame at the first optimized pose (Slam.cxx:404-419)
-        anchor = optimized[0]
-        anchor_inv = se3.hmat_inverse(anchor)
+        anchor_inv = se3.hmat_inverse(optimized[0])
         new_poses = [anchor_inv @ p for p in optimized]
         for e, p in zip(self.log_trajectory, new_poses):
             e["pose"] = p
@@ -541,7 +332,7 @@ class Slam:
         for i, (entry, kps) in enumerate(zip(self.log_trajectory, self.log_keypoints)):
             H = entry["pose"]
             for k in cfg.used_types:
-                kp = kps[k]
+                kp = jax.tree.map(np.asarray, kps[k])
                 n = int(kp.count)
                 if n == 0:
                     continue
@@ -556,6 +347,7 @@ class Slam:
                     bb = (pts.min(axis=0), pts.max(axis=0))
                     last_bbox = (np.minimum(last_bbox[0], bb[0]),
                                  np.maximum(last_bbox[1], bb[1])) if last_bbox else bb
+        off = np.zeros(3, np.int64)
         for k in cfg.used_types:
             if not world_clouds[k]:
                 continue
@@ -571,12 +363,13 @@ class Slam:
                     jnp.float32(times[-1]), jnp.ones(len(pts), bool),
                     jnp.float32(times[-1]), mc, fixed=False)
             if last_bbox is not None:
-                self.maps[k], off = voxel_map.roll(
+                self.maps[k], o = voxel_map.roll(
                     self.maps[k], jnp.asarray(last_bbox[0], jnp.float32),
                     jnp.asarray(last_bbox[1], jnp.float32), mc)
+                off = np.asarray(o, np.int64)
         if last_bbox is not None:
             res = voxel_map.effective_resolution(next(iter(self.map_cfgs.values())))
-            self.map_origin = self.map_origin + np.asarray(off, np.float64) * res
+            self.map_origin = self.map_origin + off.astype(np.float64) * res
 
         self.Tworld = new_poses[-1].copy()
         self.PreviousTworld = new_poses[-2].copy()
@@ -595,6 +388,21 @@ class Slam:
         R, tv = _interpolate_rt(np, H0[:3, :3], H0[:3, 3], H1[:3, :3], H1[:3, 3],
                                 t1 + point_times.astype(np.float64), t0, t1)
         return np.einsum("nij,nj->ni", R, pts) + tv
+
+
+    # ------------------------------------------------------------------
+    # External sensor API (Slam.cxx:1584-1598)
+    # ------------------------------------------------------------------
+
+    def add_wheel_odom_measurement(self, time: float, distance: float):
+        self.wheel_odom.add_measurement(time, distance)
+
+    def add_gravity_measurement(self, time: float, acceleration):
+        self.imu.add_measurement(time, acceleration)
+
+    def clear_sensor_measurements(self):
+        self.wheel_odom.reset()
+        self.imu.reset()
 
     # ------------------------------------------------------------------
     # Results API (Slam.h getters surface)
@@ -645,7 +453,7 @@ class Slam:
         """External pose reset (Slam::SetWorldTransformFromGuess, 490-501)."""
         self.Tworld = np.asarray(pose_hmat, np.float64).copy()
         self.PreviousTworld = self.Tworld.copy()
-        self.current_keypoints = {}
+        self._device_keypoints = None
 
     def save_maps_to_pcd(self, file_prefix: str, binary: bool = True,
                          clean: bool = False):
@@ -687,6 +495,8 @@ class Slam:
                 self.maps[k], jnp.asarray(pts), jnp.asarray(inten),
                 jnp.float32(0.0), jnp.ones(len(pts), bool), jnp.float32(0.0),
                 mc, fixed=fixed)
+            if len(pts):
+                self._maps_populated = True
 
     def get_debug_information(self) -> dict:
         """Scalar debug metrics (Slam::GetDebugInformation, Slam.cxx:611-632)."""
