@@ -1,0 +1,128 @@
+"""Sensor adaptation: vendor point clouds -> engine frames, GPS -> UTM.
+
+Host-side equivalents of the reference's conversion nodes
+(ros_wrapping/lidar_conversions + gps_conversions):
+
+- `velodyne_to_frame`: ring ids map straight to laser_id; missing per-point
+  times are synthesized from azimuth advancement within the sweep
+  (VelodyneToLidarNode.cxx:53-112 + SpinningFrameAdvancementEstimator,
+  lidar_conversions/Utilities.h:59-113);
+- `robosense_to_frame`: NaN filtering, duplicate (dual-return) removal,
+  laser-id remapping, same time synthesis (RobosenseToLidarNode.cxx:29-146);
+- `gps_to_utm`: WGS84 lat/lon -> UTM easting/northing/zone
+  (GpsToUtmNode semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# RoboSense RS16 vertical-angle reorder (RobosenseToLidarNode laser remap role)
+RS16_RING_REMAP = np.array([0, 2, 4, 6, 8, 10, 12, 14, 15, 13, 11, 9, 7, 5, 3, 1])
+
+
+def estimate_frame_advancement(xyz):
+    """Per-point sweep advancement in [0, 1) from azimuth rotation.
+
+    Assumes a sensor spinning around +Z at constant rate within the sweep;
+    advancement is the (unwrapped) angle swept since the first point."""
+    az = np.arctan2(xyz[:, 1], xyz[:, 0])
+    rel = az[0] - az  # clockwise spin advances -azimuth
+    rel = np.mod(rel, 2 * np.pi)
+    # unwrap regressions caused by multi-ring interleaving: enforce a
+    # monotonically increasing envelope
+    adv = np.maximum.accumulate(rel) / (2 * np.pi)
+    return np.minimum(adv, 0.999999)
+
+
+def velodyne_to_frame(xyz, intensity, ring, stamp, time=None, sweep_duration=0.1,
+                      device_id=0, seq=None):
+    """Velodyne-style cloud -> engine frame dict."""
+    xyz = np.asarray(xyz, np.float32)
+    finite = np.isfinite(xyz).all(axis=1)
+    xyz = xyz[finite]
+    intensity = np.asarray(intensity, np.float32)[finite]
+    ring = np.asarray(ring, np.int64)[finite]
+    if time is None:
+        time = estimate_frame_advancement(xyz) * sweep_duration
+    else:
+        time = np.asarray(time, np.float64)[finite]
+    out = {"xyz": xyz, "intensity": intensity, "laser_id": ring,
+           "time": time.astype(np.float32), "stamp": float(stamp),
+           "device_id": device_id}
+    if seq is not None:
+        out["seq"] = int(seq)
+    return out
+
+
+def robosense_to_frame(xyz, intensity, ring, stamp, sweep_duration=0.1,
+                       ring_remap=RS16_RING_REMAP, device_id=0, seq=None):
+    """RoboSense-style cloud -> engine frame: drop NaNs and dual-return
+    duplicates, remap rings bottom-up, synthesize times."""
+    xyz = np.asarray(xyz, np.float64)
+    intensity = np.asarray(intensity, np.float32)
+    ring = np.asarray(ring, np.int64)
+    finite = np.isfinite(xyz).all(axis=1)
+    xyz, intensity, ring = xyz[finite], intensity[finite], ring[finite]
+    # dual-return dedup: drop a point identical to its predecessor
+    if len(xyz) > 1:
+        same = np.all(np.abs(np.diff(xyz, axis=0)) < 1e-9, axis=1)
+        keep = np.concatenate([[True], ~same])
+        xyz, intensity, ring = xyz[keep], intensity[keep], ring[keep]
+    ring = np.asarray(ring_remap)[np.clip(ring, 0, len(ring_remap) - 1)]
+    time = estimate_frame_advancement(xyz) * sweep_duration
+    out = {"xyz": xyz.astype(np.float32), "intensity": intensity,
+           "laser_id": ring, "time": time.astype(np.float32),
+           "stamp": float(stamp), "device_id": device_id}
+    if seq is not None:
+        out["seq"] = int(seq)
+    return out
+
+
+# -----------------------------------------------------------------------------
+# WGS84 -> UTM
+# -----------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_K0 = 0.9996
+
+
+def gps_to_utm(lat_deg, lon_deg, alt=0.0):
+    """Lat/lon (degrees) -> (easting [m], northing [m], zone, band letter).
+
+    Transverse-Mercator series expansion (the conversion GpsToUtmNode
+    performs via GeographicLib), accurate to ~mm within a zone."""
+    lat = np.deg2rad(np.asarray(lat_deg, np.float64))
+    lon = np.asarray(lon_deg, np.float64)
+    zone = (np.floor((lon + 180.0) / 6.0).astype(int) % 60) + 1
+    lon0 = np.deg2rad((zone - 1) * 6.0 - 180.0 + 3.0)
+    lon = np.deg2rad(lon)
+
+    a = _WGS84_A
+    f = _WGS84_F
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    n_lat = a / np.sqrt(1 - e2 * np.sin(lat) ** 2)
+    T = np.tan(lat) ** 2
+    C = ep2 * np.cos(lat) ** 2
+    A = (lon - lon0) * np.cos(lat)
+
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    M = a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat
+             - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * lat)
+             + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * lat)
+             - (35 * e6 / 3072) * np.sin(6 * lat))
+
+    easting = _K0 * n_lat * (A + (1 - T + C) * A**3 / 6
+                             + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120) + 500000.0
+    northing = _K0 * (M + n_lat * np.tan(lat) * (
+        A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+        + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720))
+    northing = np.where(lat < 0, northing + 10000000.0, northing)
+
+    bands = "CDEFGHJKLMNPQRSTUVWX"
+    band_idx = np.clip(((np.rad2deg(lat) + 80) // 8).astype(int), 0, len(bands) - 1)
+    band = bands[int(band_idx)] if np.ndim(band_idx) == 0 else \
+        [bands[i] for i in np.atleast_1d(band_idx)]
+    return easting, northing, zone, band

@@ -114,6 +114,33 @@ def build_range_image(
     )
 
 
+def transform_keypoints(kp: Keypoints, pose6, time_offset=0.0) -> Keypoints:
+    """Rigidly transform a keypoint set (LIDAR->BASE calibration) and shift
+    its point times (AggregateFrames semantics, Slam.cxx:1512-1578)."""
+    from lidarslam_tpu.core import se3
+
+    R, t = se3.jpose_to_rt(jnp.asarray(pose6, jnp.float32))
+    return kp._replace(xyz=kp.xyz @ R.T + t, time=kp.time + time_offset)
+
+
+def merge_keypoints(sets, capacity: int) -> Keypoints:
+    """Concatenate keypoint sets from several devices into one fixed-capacity
+    set, keeping valid slots first (multi-LiDAR merge)."""
+    xyz = jnp.concatenate([s.xyz for s in sets])
+    inten = jnp.concatenate([s.intensity for s in sets])
+    time = jnp.concatenate([s.time for s in sets])
+    ring = jnp.concatenate([s.ring for s in sets])
+    valid = jnp.concatenate([s.valid for s in sets])
+    order = jnp.arange(xyz.shape[0], dtype=jnp.int32)
+    _, crow = jax.lax.sort(((~valid).astype(jnp.int32), order), num_keys=1,
+                           is_stable=True)
+    crow = crow[:capacity]
+    count = jnp.minimum(jnp.sum(valid), capacity).astype(jnp.int32)
+    slot_valid = jnp.arange(capacity, dtype=jnp.int32) < count
+    return Keypoints(xyz=xyz[crow], intensity=inten[crow], time=time[crow],
+                     ring=ring[crow], valid=slot_valid, count=count)
+
+
 def estimate_azimuthal_resolution(ri: RangeImage) -> float:
     """Host-side estimate of the sensor's azimuthal resolution [rad].
 

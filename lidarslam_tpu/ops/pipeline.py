@@ -70,6 +70,26 @@ def process_frame(
     first_frame: bool,
 ) -> FrameResult:
     """Full per-sweep step. `cfg`, `map_cfgs`, `first_frame` are static."""
+    ext = extractor.extract_keypoints(ri, inp.az_resolution, cfg.extractor)
+    kps = (ext.edges, ext.planes, ext.blobs)
+    return process_keypoints(kps, ri, maps, prev_keypoints, inp, cfg, map_cfgs,
+                             first_frame)
+
+
+def process_keypoints(
+    kps: tuple,                # pre-extracted Keypoints per type (multi-LiDAR merge)
+    ri: Optional[RangeImage],  # optional full sweep for overlap sampling
+    maps: tuple,
+    prev_keypoints: tuple,
+    inp: FrameInputs,
+    cfg: SlamConfig,
+    map_cfgs: tuple,
+    first_frame: bool,
+) -> FrameResult:
+    """Per-sweep step starting from already-extracted keypoints. Used
+    directly for multi-LiDAR rigs where each device's sweep is extracted
+    with its own extractor and the keypoint sets are merged in BASE frame
+    (Slam::ExtractKeypoints + AggregateFrames semantics)."""
     types = cfg.used_types
     geoms = [None, None, None]
     for t in types:
@@ -77,10 +97,6 @@ def process_frame(
         geoms[int(t)] = (voxel_map.half_extent(mc), mc.bucket_factor * mc.leaf_size,
                          mc.search_rings)
     geoms = tuple(geoms)
-
-    # ---------------- extraction ----------------
-    ext = extractor.extract_keypoints(ri, inp.az_resolution, cfg.extractor)
-    kps = (ext.edges, ext.planes, ext.blobs)
 
     # ---------------- ego-motion registration (optional) ----------------
     trel = inp.trel_prior
@@ -185,7 +201,7 @@ def process_frame(
 
     # ---------------- overlap (optional, static) ----------------
     overlap = jnp.full((), -1.0)
-    if cfg.confidence.overlap_sampling_ratio > 0 and not first_frame:
+    if cfg.confidence.overlap_sampling_ratio > 0 and not first_frame and ri is not None:
         overlap = _overlap(ri, pose, indices, cfg, map_cfgs, geoms, warp)
 
     # ---------------- keyframe gate + map update ----------------

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from lidarslam_tpu import confidence as confidence_mod
 from lidarslam_tpu.config import (EgoMotionMode, Keypoint, MappingMode, SlamConfig)
 from lidarslam_tpu.core import se3
+from lidarslam_tpu.ops import extractor as extractor_mod
 from lidarslam_tpu.ops import pipeline, undistortion, voxel_map
 from lidarslam_tpu.ops.frame import Keypoints, build_range_image, estimate_azimuthal_resolution
 from lidarslam_tpu.sensors.constraints import ImuManager, OdomResidual, WheelOdometryManager
@@ -84,7 +85,14 @@ class Slam:
             pipeline.process_frame,
             static_argnames=("cfg", "map_cfgs", "first_frame"),
             donate_argnums=(1,))
+        self._process_kp = jax.jit(
+            pipeline.process_keypoints,
+            static_argnames=("cfg", "map_cfgs", "first_frame"),
+            donate_argnums=(2,))
+        self._extract = jax.jit(extractor_mod.extract_keypoints, static_argnums=(2,))
         self._warp_points = jax.jit(undistortion.warp_points)
+        # per-LiDAR-device calibration: BASE <- LIDAR (Slam.h:502-505)
+        self.base_to_lidar_offsets: Dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------------
     # State
@@ -145,15 +153,9 @@ class Slam:
         t0 = _time.perf_counter()
         cfg = self.cfg
 
-        if frame["xyz"] is None or len(frame["xyz"]) == 0:
-            return {"skipped": "empty"}
-        if self.last_stamp is not None and frame["stamp"] == self.last_stamp:
-            return {"skipped": "duplicate stamp"}
-        if self.last_seq is not None and "seq" in frame:
-            dropped = frame["seq"] - self.last_seq - 1
-            if dropped > 0:
-                self._log(f"{dropped} frame(s) dropped")
-        self.last_seq = frame.get("seq")
+        skip = self._check_frame(frame)
+        if skip:
+            return skip
         stamp = float(frame["stamp"])
 
         # ---- host-side input conversion ----
@@ -163,6 +165,88 @@ class Slam:
         if self.azimuthal_resolution <= 1e-6 or self.azimuthal_resolution > np.pi / 4:
             self.azimuthal_resolution = float(estimate_azimuthal_resolution(ri))
 
+        inp = self._make_inputs(stamp)
+        first = not self._maps_populated
+        maps_in = tuple(self.maps.get(Keypoint(i)) for i in range(3))
+        prev_kp = self._device_keypoints if self._device_keypoints is not None \
+            else self._empty_keypoints()
+        res = self._process(ri, maps_in, prev_kp, inp, cfg, self._map_cfgs_tuple, first)
+        out = self._apply_result(res, stamp, t0)
+        self.last_stamp = frame["stamp"]
+        return out
+
+    def add_frames(self, frames) -> dict:
+        """Process one synchronized multi-LiDAR acquisition
+        (Slam::AddFrames, Slam.cxx:230-344 + ExtractKeypoints 746-810).
+
+        Each frame dict carries a `device_id`; per-device sweeps are
+        extracted independently, transformed into BASE by the per-device
+        calibration offsets, time-rebased to the first frame's stamp, and
+        the keypoint sets merged before the shared pipeline."""
+        import time as _time
+        t0 = _time.perf_counter()
+        cfg = self.cfg
+
+        frames = [f for f in frames if f["xyz"] is not None and len(f["xyz"])]
+        if not frames:
+            return {"skipped": "empty"}
+        if len(frames) == 1 and int(frames[0].get("device_id", 0)) not in \
+                self.base_to_lidar_offsets:
+            return self.add_frame(frames[0])
+        skip = self._check_frame(frames[0])
+        if skip:
+            return skip
+        stamp = float(frames[0]["stamp"])
+
+        from lidarslam_tpu.ops.frame import merge_keypoints, transform_keypoints
+
+        per_type = {0: [], 1: [], 2: []}
+        for f in frames:
+            dev = int(f.get("device_id", 0))
+            ri = build_range_image(f["xyz"], f["intensity"], f["laser_id"],
+                                   f["time"], cfg.extractor.n_rings,
+                                   cfg.extractor.max_ring_points)
+            if self.azimuthal_resolution <= 1e-6:
+                self.azimuthal_resolution = float(estimate_azimuthal_resolution(ri))
+            ext = self._extract(ri, jnp.float32(self.azimuthal_resolution), cfg.extractor)
+            offset = self.base_to_lidar_offsets.get(dev, np.eye(4))
+            pose6 = jnp.asarray(se3.hmat_to_pose(offset), jnp.float32)
+            dt = float(f["stamp"]) - stamp
+            from lidarslam_tpu.ops.frame import transform_keypoints as _tk
+            for i, kp in enumerate((ext.edges, ext.planes, ext.blobs)):
+                per_type[i].append(_tk(kp, pose6, dt))
+        cap = cfg.extractor.max_keypoints
+        kps = tuple(merge_keypoints(per_type[i], cap) for i in range(3))
+
+        inp = self._make_inputs(stamp)
+        first = not self._maps_populated
+        maps_in = tuple(self.maps.get(Keypoint(i)) for i in range(3))
+        prev_kp = self._device_keypoints if self._device_keypoints is not None \
+            else self._empty_keypoints()
+        res = self._process_kp(kps, None, maps_in, prev_kp, inp, cfg,
+                               self._map_cfgs_tuple, first)
+        out = self._apply_result(res, stamp, t0)
+        self.last_stamp = frames[0]["stamp"]
+        return out
+
+    def set_base_to_lidar_offset(self, device_id: int, hmat):
+        """Static LIDAR-in-BASE calibration per device (Slam.h:502-505)."""
+        self.base_to_lidar_offsets[int(device_id)] = np.asarray(hmat, np.float64)
+
+    def _check_frame(self, frame):
+        if frame["xyz"] is None or len(frame["xyz"]) == 0:
+            return {"skipped": "empty"}
+        if self.last_stamp is not None and frame["stamp"] == self.last_stamp:
+            return {"skipped": "duplicate stamp"}
+        if self.last_seq is not None and "seq" in frame:
+            dropped = frame["seq"] - self.last_seq - 1
+            if dropped > 0:
+                self._log(f"{dropped} frame(s) dropped")
+        self.last_seq = frame.get("seq")
+        return None
+
+    def _make_inputs(self, stamp) -> pipeline.FrameInputs:
+        cfg = self.cfg
         # ---- ego-motion extrapolation (host, Slam.cxx:813-836) ----
         trel_prior = np.eye(4)
         if len(self.log_trajectory) >= 2 and cfg.ego_motion_mode in (
@@ -188,13 +272,12 @@ class Slam:
             if r is not None:
                 extras.append(r)
 
-        # ---- fused device step ----
         prev_rel = self.Tworld.copy()
         prev_rel[:3, 3] -= self.map_origin
         kf_rel = self.kf_last_pose.copy()
         kf_rel[:3, 3] -= self.map_origin
         t_prev = self.log_trajectory[-1]["time"] if self.log_trajectory else stamp
-        inp = pipeline.FrameInputs(
+        return pipeline.FrameInputs(
             trel_prior=jnp.asarray(se3.hmat_to_pose(trel_prior), jnp.float32),
             prev_pose=jnp.asarray(se3.hmat_to_pose(prev_rel), jnp.float32),
             t_prev=jnp.float32(t_prev),
@@ -203,13 +286,11 @@ class Slam:
             kf_last_pose=jnp.asarray(se3.hmat_to_pose(kf_rel), jnp.float32),
             kf_counter=jnp.int32(self.kf_counter),
             extras=tuple(extras))
-        first = not self._maps_populated
-        maps_in = tuple(self.maps.get(Keypoint(i)) for i in range(3))
-        prev_kp = self._device_keypoints if self._device_keypoints is not None \
-            else self._empty_keypoints()
-        res = self._process(ri, maps_in, prev_kp, inp, cfg, self._map_cfgs_tuple, first)
 
-        # ---- one host sync for the scalar outputs ----
+    def _apply_result(self, res: pipeline.FrameResult, stamp, t0) -> dict:
+        """One host sync for the scalar outputs, then float64 bookkeeping."""
+        import time as _time
+        cfg = self.cfg
         pose_rel, trel, failed, total, counts, cov, roll_offset, is_kf, overlap = \
             jax.device_get((res.pose, res.trel, res.failed, res.total_matches,
                             res.match_counts, res.covariance, res.roll_offset,
@@ -251,7 +332,8 @@ class Slam:
 
         # ---- logging ----
         self._log_state(stamp)
-        self.last_stamp = frame["stamp"]
+        self._last_statuses = res.statuses
+        self._last_weights = res.weights
         self.n_frames += 1
         self.latency = _time.perf_counter() - t0
         return {
@@ -497,6 +579,36 @@ class Slam:
                 mc, fixed=fixed)
             if len(pts):
                 self._maps_populated = True
+
+    def get_debug_array(self) -> dict:
+        """Per-keypoint matching debug arrays (Slam::GetDebugArray,
+        Slam.cxx:635-657): rejection cause (MatchStatus code) and fit weight
+        for every keypoint of the last localization."""
+        out = {}
+        if getattr(self, "_last_statuses", None) is None:
+            return out
+        from lidarslam_tpu.config import KEYPOINT_NAMES
+        for t, st, w in zip(self.cfg.used_types, self._last_statuses,
+                            self._last_weights):
+            kp = self.current_keypoints.get(t)
+            n = int(kp.count) if kp is not None else 0
+            name = KEYPOINT_NAMES[t]
+            out[f"{name}_match_status"] = np.asarray(st)[:n]
+            out[f"{name}_match_weight"] = np.asarray(w)[:n]
+        return out
+
+    def extract_debug(self, frame: dict) -> dict:
+        """Re-run extraction on a sweep and return the per-point score/label
+        grids (SpinningSensorKeypointExtractor::GetDebugArray parity,
+        SSKE.cxx:640-680). On-demand: not part of the fused per-frame path."""
+        cfg = self.cfg
+        ri = build_range_image(frame["xyz"], frame["intensity"], frame["laser_id"],
+                               frame["time"], cfg.extractor.n_rings,
+                               cfg.extractor.max_ring_points)
+        az = self.azimuthal_resolution if self.azimuthal_resolution > 1e-6 \
+            else float(estimate_azimuthal_resolution(ri))
+        ext = self._extract(ri, jnp.float32(az), cfg.extractor)
+        return {k: np.asarray(v) for k, v in ext.debug.items()}
 
     def get_debug_information(self) -> dict:
         """Scalar debug metrics (Slam::GetDebugInformation, Slam.cxx:611-632)."""
