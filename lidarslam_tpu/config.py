@@ -67,6 +67,18 @@ class SamplingMode(enum.IntEnum):
     CENTROID = 4
 
 
+class LoggingStorage(enum.IntEnum):
+    """Keypoint-log storage backends (PointCloudStorage.h:318-352 roles).
+
+    DEVICE keeps jax array references (zero host traffic, device memory);
+    HOST pulls to numpy per frame; COMPRESSED packs coordinates to float16 +
+    uint8 intensity on the host (~3x smaller, bounded-memory long runs)."""
+
+    DEVICE = 0
+    HOST = 1
+    COMPRESSED = 2
+
+
 class MatchStatus(enum.IntEnum):
     """Per-keypoint matching rejection causes (KeypointsMatcher.h:82-93)."""
 
@@ -195,6 +207,7 @@ class SlamConfig:
     mapping_mode: MappingMode = MappingMode.UPDATE
     verbosity: int = 0
     logging_timeout: float = -1.0   # <0: log everything; 0: disabled; >0: [s]
+    logging_storage: LoggingStorage = LoggingStorage.DEVICE
 
     # keyframes (Slam.h:535-536)
     kf_distance_threshold: float = 0.5  # [m]

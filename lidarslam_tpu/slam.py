@@ -35,6 +35,7 @@ from lidarslam_tpu.ops import extractor as extractor_mod
 from lidarslam_tpu.ops import pipeline, undistortion, voxel_map
 from lidarslam_tpu.ops.frame import Keypoints, build_range_image, estimate_azimuthal_resolution
 from lidarslam_tpu.sensors.constraints import ImuManager, OdomResidual, WheelOdometryManager
+from lidarslam_tpu.utils import timer
 
 
 def _shared_resolution(cfg: SlamConfig) -> float:
@@ -170,7 +171,12 @@ class Slam:
         maps_in = tuple(self.maps.get(Keypoint(i)) for i in range(3))
         prev_kp = self._device_keypoints if self._device_keypoints is not None \
             else self._empty_keypoints()
+        if cfg.verbosity >= 3:
+            timer.init("device step")
         res = self._process(ri, maps_in, prev_kp, inp, cfg, self._map_cfgs_tuple, first)
+        if cfg.verbosity >= 3:
+            jax.block_until_ready(res.pose)
+            timer.stop_and_display("device step")
         out = self._apply_result(res, stamp, t0)
         self.last_stamp = frame["stamp"]
         return out
@@ -365,7 +371,34 @@ class Slam:
                     self.log_keypoints.pop(0)
         if cfg.logging_timeout != 0:
             self.log_keypoints.append(
-                {k: self.current_keypoints[k] for k in cfg.used_types})
+                {k: self._store_keypoints(self.current_keypoints[k])
+                 for k in cfg.used_types})
+
+    def _store_keypoints(self, kp):
+        """Apply the configured log-storage backend (PointCloudStorage role)."""
+        from lidarslam_tpu.config import LoggingStorage
+
+        mode = self.cfg.logging_storage
+        if mode == LoggingStorage.DEVICE:
+            return kp
+        host = jax.tree.map(np.asarray, kp)
+        if mode == LoggingStorage.HOST:
+            return host
+        n = int(host.count)
+        return host._replace(
+            xyz=host.xyz[:n].astype(np.float16),
+            intensity=host.intensity[:n].astype(np.uint8),
+            time=host.time[:n].astype(np.float16),
+            ring=host.ring[:n].astype(np.uint8),
+            valid=host.valid[:n])
+
+    @staticmethod
+    def _restore_keypoints(kp):
+        """Undo log storage (lazy pull for PGO replay)."""
+        kp = jax.tree.map(np.asarray, kp)
+        return kp._replace(xyz=kp.xyz.astype(np.float32),
+                           intensity=kp.intensity.astype(np.float32),
+                           time=kp.time.astype(np.float32))
 
     # ------------------------------------------------------------------
     # Pose-graph optimization (Slam::RunPoseGraphOptimization, 355-487)
@@ -414,7 +447,7 @@ class Slam:
         for i, (entry, kps) in enumerate(zip(self.log_trajectory, self.log_keypoints)):
             H = entry["pose"]
             for k in cfg.used_types:
-                kp = jax.tree.map(np.asarray, kps[k])
+                kp = self._restore_keypoints(kps[k])
                 n = int(kp.count)
                 if n == 0:
                     continue

@@ -1,0 +1,59 @@
+"""Mapping modes (NONE / ADD_KPTS_TO_FIXED_MAP / UPDATE) and log storage."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from lidarslam_tpu import Slam
+from lidarslam_tpu.config import (ExtractorConfig, Keypoint, LoggingStorage,
+                                  MapConfig, MappingMode, SlamConfig)
+from lidarslam_tpu.io import synthetic
+
+
+def _cfg(**kw):
+    return SlamConfig(
+        extractor=ExtractorConfig(n_rings=16, max_ring_points=1024, max_keypoints=1024),
+        edge_map=MapConfig(leaf_size=0.30, capacity=1 << 15, grid_size=26),
+        plane_map=MapConfig(leaf_size=0.60, capacity=1 << 15, grid_size=26),
+        blob_map=MapConfig(leaf_size=0.30, capacity=1 << 15, grid_size=26), **kw)
+
+
+def test_localization_only_on_frozen_map(tmp_path):
+    """MappingMode.NONE: localize on a loaded map without ever touching it."""
+    frames = synthetic.generate_sequence(n_frames=6, motion_distortion=False)
+    builder = Slam(_cfg())
+    for f in frames[:4]:
+        builder.add_frame(f)
+    prefix = str(tmp_path / "map_")
+    builder.save_maps_to_pcd(prefix)
+
+    loc = Slam(_cfg(mapping_mode=MappingMode.NONE))
+    loc.load_maps_from_pcd(prefix)
+    n0 = len(loc.get_map_points(Keypoint.PLANE)[0])
+    loc.set_world_transform_from_guess(builder.get_world_transform())
+    for f in frames[4:]:
+        r = loc.add_frame({**f})
+        assert not r["failure"]
+        assert r["n_matches"] > 100
+    # map untouched
+    assert len(loc.get_map_points(Keypoint.PLANE)[0]) == n0
+
+
+@pytest.mark.parametrize("mode", [LoggingStorage.HOST, LoggingStorage.COMPRESSED])
+def test_logging_storage_backends(mode):
+    frames = synthetic.generate_sequence(n_frames=5, motion_distortion=False)
+    slam = Slam(_cfg(logging_storage=mode))
+    for f in frames:
+        slam.add_frame(f)
+    assert len(slam.log_keypoints) == 5
+    kp = slam.log_keypoints[-1][Keypoint.PLANE]
+    if mode == LoggingStorage.COMPRESSED:
+        assert kp.xyz.dtype == np.float16
+    # PGO replay works from either backend
+    from lidarslam_tpu.core import se3
+    gt0 = frames[0]["gt_pose"]
+    gps = np.stack([(se3.hmat_inverse(gt0) @ f["gt_pose"])[:3, 3] for f in frames])
+    ok = slam.run_pose_graph_optimization(gps, [f["stamp"] for f in frames])
+    assert ok
+    assert len(slam.get_map_points(Keypoint.PLANE)[0]) > 100
