@@ -165,6 +165,11 @@ class MatchingConfig:
     planarity_threshold: float = 0.04
     plane_max_model_error: float = 0.2    # [m]
     blob_nb_neighbors: int = 10
+    # [m] floor on the blob-ellipsoid sigma: bounds the Mahalanobis weight of
+    # degenerate (single-arc) neighborhoods so blob residuals cannot drown
+    # the edge/plane constraints (the float64 reference only isfinite-gates
+    # this, BuildBlobMatch 318-336, and ships with blobs disabled)
+    blob_min_sigma: float = 0.15
     # saturation distance schedule across ICP iterations (Slam.h:640-643)
     init_saturation_distance: float = 2.0   # [m]
     final_saturation_distance: float = 0.5  # [m]

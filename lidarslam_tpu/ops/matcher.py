@@ -143,7 +143,11 @@ def match_blobs(kp_xyz, kp_valid, index: PointIndex, pose, params: MatchingConfi
     mean, cov, _ = pca.masked_mean_and_cov(nbr, found)
     lam, V = pca.eigh_3x3(cov)
     pca_ok = lam[:, 0] > 1e-12
-    inv_sqrt = jax.lax.rsqrt(jnp.maximum(lam, 1e-12))
+    # Floor the ellipsoid sigma (see MatchingConfig.blob_min_sigma): sparse
+    # single-arc neighborhoods otherwise produce near-singular covariances
+    # whose Mahalanobis weights drown the edge/plane constraints.
+    lam_floor = jnp.float32(params.blob_min_sigma**2)
+    inv_sqrt = jax.lax.rsqrt(jnp.maximum(lam, lam_floor))
     A = jnp.einsum("qij,qj,qkj->qik", V, inv_sqrt, V)
     finite = jnp.all(jnp.isfinite(A), axis=(1, 2))
 
