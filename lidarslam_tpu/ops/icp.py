@@ -90,16 +90,23 @@ def icp_register(
                                          time_range[0], time_range[1],
                                          max_extrapolation_ratio)
 
-    warp = make_warp(pose) if undistort else None
+    prior_warp = make_warp(pose) if undistort else None
 
-    for it in range(icp_iters):
-        ratio = it / max(icp_iters - 1, 1)
-        sat = (1.0 - ratio) * params.init_saturation_distance + ratio * params.final_saturation_distance
+    # one fori_loop over ICP rounds: the matcher graph is traced once (compile
+    # time) and the shrinking saturation schedule is computed from the round
+    # index; early-exit/minimum-match guards are where-gated state
+    def body(it, state):
+        pose, active, failed, total, counts, H, statuses, weights = state
+        ratio = it.astype(jnp.float32) / max(icp_iters - 1, 1)
+        sat = ((1.0 - ratio) * params.init_saturation_distance
+               + ratio * params.final_saturation_distance)
 
-        # REFINED: re-derive the within-sweep warp from the refined pose each
-        # round (Slam.cxx:1142-1143); ONCE keeps the prior-based warp
-        if undistort and undistort_mode == UndistortionMode.REFINED and it > 0:
-            warp = make_warp(pose)
+        if undistort:
+            if undistort_mode == UndistortionMode.REFINED:
+                warp = jax.tree.map(
+                    lambda a, b: jnp.where(it > 0, a, b), make_warp(pose), prior_warp)
+            else:
+                warp = prior_warp
 
         blocks = []
         for t in types:
@@ -132,10 +139,16 @@ def icp_register(
         failed = failed | (active & ~enough)
         converged = res.n_success == 1
         active = step_ok & ~converged
+        return pose, active, failed, total, counts, H, statuses, weights
+
+    state = (pose, active, failed, total, counts, H, statuses, weights)
+    pose, active, failed, total, counts, H, statuses, weights = \
+        jax.lax.fori_loop(0, icp_iters, body, state)
 
     final_warp = None
     if undistort:
-        final_warp = make_warp(pose) if undistort_mode == UndistortionMode.REFINED else warp
+        final_warp = make_warp(pose) if undistort_mode == UndistortionMode.REFINED \
+            else prior_warp
     return ICPResult(pose=pose, failed=failed, total_matches=total,
                      match_counts=counts, H=H, statuses=statuses, weights=weights,
                      warp=final_warp)

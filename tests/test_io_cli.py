@@ -101,11 +101,20 @@ def test_cli_run_and_compare(tmp_path):
     assert info["frames"] == 5
     assert (out1 / "Poses.csv").exists() and (out1 / "Evaluators.csv").exists()
 
-    # deterministic replay: the same run compares clean against itself
+    # deterministic replay: an independent second run must match the first
+    # within the CI thresholds (the reference ros_test regression contract)
+    out2 = tmp_path / "run2"
+    cmd2 = [sys.executable, "-m", "lidarslam_tpu.cli", "--cpu", "run",
+            "--synthetic", "5", "--out", str(out2),
+            "--max-ring-points", "1024", "--max-keypoints", "1024"]
+    r = subprocess.run(cmd2, capture_output=True, text=True, cwd="/root/repo",
+                       env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
     cmd = [sys.executable, "-m", "lidarslam_tpu.cli", "compare",
-           "--res", str(out1), "--ref", str(out1)]
+           "--res", str(out2), "--ref", str(out1)]
     r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo",
                        env=env, timeout=120)
     assert r.returncode == 0, r.stderr[-2000:]
     cmp = json.loads(r.stdout.strip().splitlines()[-1])
     assert cmp["success"] and cmp["n_compared"] == 5
+    assert cmp["max_position_error_m"] < 1e-5  # bitwise-deterministic replay
