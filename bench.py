@@ -19,6 +19,8 @@ def main():
     ap.add_argument("--frames", type=int, default=40, help="timed frames")
     ap.add_argument("--warmup", type=int, default=6, help="warmup frames (compiles)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--rings", type=int, default=16, help="laser rings (16=VLP-16, 128=VLS-128)")
+    ap.add_argument("--azimuth", type=int, default=1800, help="firings per ring per sweep")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -37,15 +39,18 @@ def main():
     from lidarslam_tpu.config import ExtractorConfig, MapConfig
     from lidarslam_tpu.io import synthetic
 
+    ring_cap = 1 << (args.azimuth - 1).bit_length()
+    kp_cap = 2048 if args.rings <= 32 else 8192
     cfg = SlamConfig(
-        extractor=ExtractorConfig(n_rings=16, max_ring_points=2048, max_keypoints=2048),
+        extractor=ExtractorConfig(n_rings=args.rings, max_ring_points=ring_cap,
+                                  max_keypoints=kp_cap),
         edge_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
         plane_map=MapConfig(leaf_size=0.60, capacity=1 << 16),
         blob_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
     )
 
     n_total = args.warmup + args.frames
-    sensor = synthetic.SensorModel(n_rings=16, n_azimuth=1800)
+    sensor = synthetic.SensorModel(n_rings=args.rings, n_azimuth=args.azimuth)
     t0 = time.perf_counter()
     frames = synthetic.generate_sequence(n_frames=n_total, sensor=sensor,
                                          motion_distortion=False)
