@@ -23,8 +23,7 @@ import sys
 
 def _build_slam(args):
     from lidarslam_tpu import Slam, SlamConfig
-    from lidarslam_tpu.config import (EgoMotionMode, ExtractorConfig, MapConfig,
-                                      UndistortionMode)
+    from lidarslam_tpu.config import EgoMotionMode, ExtractorConfig, UndistortionMode
 
     cfg = SlamConfig(
         ego_motion_mode=EgoMotionMode(args.ego_motion),

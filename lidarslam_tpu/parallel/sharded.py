@@ -17,14 +17,12 @@ from functools import partial
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from lidarslam_tpu.config import Keypoint, MatchingConfig, SolverConfig
 from lidarslam_tpu.ops import icp
-from lidarslam_tpu.ops.voxel_map import PointIndex
 
 AXIS = "kp"
 

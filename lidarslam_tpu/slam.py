@@ -34,7 +34,7 @@ from lidarslam_tpu.core import se3
 from lidarslam_tpu.ops import extractor as extractor_mod
 from lidarslam_tpu.ops import pipeline, undistortion, voxel_map
 from lidarslam_tpu.ops.frame import Keypoints, build_range_image, estimate_azimuthal_resolution
-from lidarslam_tpu.sensors.constraints import ImuManager, OdomResidual, WheelOdometryManager
+from lidarslam_tpu.sensors.constraints import ImuManager, WheelOdometryManager
 from lidarslam_tpu.utils import timer
 
 
