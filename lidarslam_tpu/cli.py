@@ -22,18 +22,27 @@ import sys
 
 
 def _build_slam(args):
+    import dataclasses
+
     from lidarslam_tpu import Slam, SlamConfig
     from lidarslam_tpu.config import EgoMotionMode, ExtractorConfig, UndistortionMode
 
-    cfg = SlamConfig(
-        ego_motion_mode=EgoMotionMode(args.ego_motion),
-        undistortion=UndistortionMode(args.undistortion),
-        use_blobs=args.use_blobs,
-        extractor=ExtractorConfig(n_rings=args.rings,
-                                  max_ring_points=args.max_ring_points,
-                                  max_keypoints=args.max_keypoints),
-        verbosity=args.verbosity,
-    )
+    if args.config:
+        from lidarslam_tpu.io.yaml_config import load_config
+        cfg = load_config(args.config)
+        cfg = dataclasses.replace(
+            cfg, verbosity=max(cfg.verbosity, args.verbosity),
+            extractor=dataclasses.replace(cfg.extractor, n_rings=args.rings))
+    else:
+        cfg = SlamConfig(
+            ego_motion_mode=EgoMotionMode(args.ego_motion),
+            undistortion=UndistortionMode(args.undistortion),
+            use_blobs=args.use_blobs,
+            extractor=ExtractorConfig(n_rings=args.rings,
+                                      max_ring_points=args.max_ring_points,
+                                      max_keypoints=args.max_keypoints),
+            verbosity=args.verbosity,
+        )
     return Slam(cfg)
 
 
@@ -123,6 +132,7 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     run = sub.add_parser("run", help="process a sweep sequence")
+    run.add_argument("--config", help="reference-style yaml config (configs/*.yaml)")
     run.add_argument("--synthetic", type=int, default=0, metavar="N")
     run.add_argument("--pcd-dir")
     run.add_argument("--rate", type=float, default=10.0, help="sweeps per second")

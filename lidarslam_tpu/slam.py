@@ -613,6 +613,16 @@ class Slam:
             if len(pts):
                 self._maps_populated = True
 
+    def get_registered_frame(self, frame: dict) -> np.ndarray:
+        """Full sweep transformed into WORLD coordinates with undistortion
+        (Slam::GetRegisteredFrame / AggregateFrames(world), Slam.cxx:1512-1578)."""
+        pts = jnp.asarray(np.asarray(frame["xyz"], np.float32))
+        if self.current_warp is not None:
+            pts = self._warp_points(pts, jnp.asarray(np.asarray(frame["time"], np.float32)),
+                                    self.current_warp)
+        pts = np.asarray(pts, np.float64)
+        return (pts @ self.Tworld[:3, :3].T + self.Tworld[:3, 3]).astype(np.float32)
+
     def get_debug_array(self) -> dict:
         """Per-keypoint matching debug arrays (Slam::GetDebugArray,
         Slam.cxx:635-657): rejection cause (MatchStatus code) and fit weight
