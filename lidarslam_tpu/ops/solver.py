@@ -144,6 +144,13 @@ _FREE_MASK_2D = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0])
 def robust_lm(blocks: Sequence[Matches], pose0, saturation, cfg: SolverConfig,
               lm_max_iter: int, axis_name=None, extras=()) -> LMResult:
     """LM minimization of the robustified match cost starting at pose0."""
+    # Pin the match blocks: without this barrier XLA sinks their producer
+    # graph (k-NN gather + PCA + gates) into the LM while-loop body and
+    # re-runs the entire matcher on every LM iteration (~30x per-frame cost,
+    # observed via jax.profiler on TPU).
+    blocks = jax.lax.optimization_barrier(tuple(blocks))
+    if extras:
+        extras = jax.lax.optimization_barrier(tuple(extras))
     cost0, H0, g0 = _evaluate(blocks, pose0, saturation, axis_name, extras)
 
     def cond(st):

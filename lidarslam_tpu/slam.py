@@ -613,6 +613,19 @@ class Slam:
             if len(pts):
                 self._maps_populated = True
 
+    def start_profiling(self, log_dir: str):
+        """Start a jax.profiler trace of the device pipeline (the TPU-side
+        counterpart of the reference's Utils::Timer verbosity instrumentation,
+        Utilities.h:353-399). View with TensorBoard / Perfetto."""
+        jax.profiler.start_trace(log_dir)
+
+    def stop_profiling(self):
+        jax.profiler.stop_trace()
+
+    def get_timing_summary(self) -> dict:
+        """Host-side named-timer accumulators (verbosity >= 3 stages)."""
+        return timer.summary()
+
     def get_registered_frame(self, frame: dict) -> np.ndarray:
         """Full sweep transformed into WORLD coordinates with undistortion
         (Slam::GetRegisteredFrame / AggregateFrames(world), Slam.cxx:1512-1578)."""
