@@ -69,7 +69,8 @@ def main():
     t0 = time.perf_counter()
     durations = []
     for i in range(args.warmup, n_total):
-        r = slam.add_frame(frames[i])
+        nxt = frames[i + 1] if i + 1 < n_total else None
+        r = slam.add_frame(frames[i], next_frame=nxt)
         durations.append(r["duration"])
         if r.get("failure"):
             print(f"# WARNING frame {i} failed", file=sys.stderr)

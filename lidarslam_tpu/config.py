@@ -146,6 +146,11 @@ class MapConfig:
     # how many rings of buckets to search around the query bucket
     # (1 -> 27 cells covering >= 1 bucket edge of radius, 2 -> 125 cells)
     search_rings: int = 2
+    # dense submap cell table (the k-NN structure the matcher queries):
+    # spatial extent of the per-frame submap window and slots per cell
+    submap_extent_xy: float = 180.0   # [m]
+    submap_extent_z: float = 48.0     # [m]
+    bucket_capacity: int = 32         # point slots per cell (overflow dropped)
 
 
 @dataclass(frozen=True)

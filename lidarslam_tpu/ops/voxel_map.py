@@ -371,6 +371,119 @@ def knn_query(index: PointIndex, queries, k: int, half: float, bucket_size: floa
     return d2s.reshape(-1, k)[:Q], idxs.reshape(-1, k)[:Q]
 
 
+# -----------------------------------------------------------------------------
+#   Dense cell-table submap grid (search-free k-NN)
+# -----------------------------------------------------------------------------
+
+class DenseGrid(NamedTuple):
+    """Per-frame dense neighbor structure: a (DX*DY*DZ*cap + 1,) slot table of
+    point-row indices (-1 = empty; last slot is the dump for out-of-window
+    writes), over the source point arrays.
+
+    TPU-first replacement for per-query binary search: cell lookup is pure
+    index arithmetic + one gather, which profiles ~20x faster inside the
+    fused per-frame program than `searchsorted` chains (the bsearch while
+    loops dominated the ICP body)."""
+
+    table: jax.Array    # (DX*DY*DZ*cap + 2,) int32 rows into xyz; slot -2 is
+                        # the overflow dump (write-only), slot -1 stays -1
+                        # (read by out-of-window cells)
+    xyz: jax.Array      # (N, 3) f32 source points
+    ring: jax.Array     # (N,) int32
+    corner: jax.Array   # (3,) f32 grid min corner (same frame as queries)
+    n: jax.Array        # () int32 number of indexed points
+
+
+def build_dense_grid(xyz, valid, corner, dims, bucket: float, cap: int,
+                     ring=None) -> DenseGrid:
+    """Rasterize points into the dense cell table. `dims` (3-tuple) and `cap`
+    are static; `corner` is traced (snapped by the caller)."""
+    DX, DY, DZ = dims
+    n_slots = DX * DY * DZ * cap
+    N = xyz.shape[0]
+    ci = jnp.floor((xyz - corner) / bucket).astype(jnp.int32)
+    ok = valid & jnp.all((ci >= 0) & (ci < jnp.asarray(dims, jnp.int32)), axis=-1)
+    ckey = (ci[..., 0] * DY + ci[..., 1]) * DZ + ci[..., 2]
+    ckey = jnp.where(ok, ckey, _BIGKEY)
+
+    row = jnp.arange(N, dtype=jnp.int32)
+    skey, srow = jax.lax.sort((ckey, row), num_keys=1)
+    first = skey != jnp.roll(skey, 1)
+    first = first.at[0].set(True)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(first, idx, 0))
+    rank = idx - seg_start
+    keep = (skey != _BIGKEY) & (rank < cap)
+    slot = jnp.where(keep, skey * cap + rank, n_slots)  # overflow -> dump slot
+
+    table = jnp.full((n_slots + 2,), -1, jnp.int32).at[slot].set(srow, mode="drop")
+    if ring is None:
+        ring = jnp.zeros(N, jnp.int32)
+    return DenseGrid(table=table, xyz=xyz, ring=ring.astype(jnp.int32),
+                     corner=corner, n=jnp.sum(ok).astype(jnp.int32))
+
+
+def dense_knn(grid: DenseGrid, queries, k: int, dims, bucket: float, cap: int,
+              rings: int = 1):
+    """k nearest indexed points per query, probing the (2r+1)^3 neighbor
+    cells by direct table lookup. Returns (sq_dists (Q,k) with +inf for
+    missing, rows (Q,k) into grid.xyz)."""
+    DX, DY, DZ = dims
+    cells = np.asarray(_neighbor_cells(rings), np.int32)     # (C, 3)
+    ci = jnp.floor((queries - grid.corner) / bucket).astype(jnp.int32)  # (Q, 3)
+    cc = ci[:, None, :] + cells[None, :, :]                  # (Q, C, 3)
+    cell_ok = jnp.all((cc >= 0) & (cc < jnp.asarray(dims, jnp.int32)), axis=-1)
+    ckey = (cc[..., 0] * DY + cc[..., 1]) * DZ + cc[..., 2]
+    span = jnp.arange(cap, dtype=jnp.int32)
+    slots = ckey[..., None] * cap + span                     # (Q, C, cap)
+    # out-of-window cells read the always-empty tail slot
+    slots = jnp.where(cell_ok[..., None], slots, grid.table.shape[0] - 1)
+    rows = grid.table[slots.reshape(queries.shape[0], -1)]   # (Q, C*cap)
+    okc = rows >= 0
+    nbr = grid.xyz[jnp.maximum(rows, 0)]
+    d2 = jnp.sum((nbr - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(okc, d2, jnp.inf)
+    neg, sel = jax.lax.top_k(-d2, k)
+    return -neg, jnp.take_along_axis(rows, sel, axis=1)
+
+
+def grid_dims(cfg: MapConfig):
+    """Static dense-grid dimensions for this map's bucket size."""
+    bucket = cfg.bucket_factor * cfg.leaf_size
+    dx = int(math.ceil(cfg.submap_extent_xy / bucket)) + 2
+    dz = int(math.ceil(cfg.submap_extent_z / bucket)) + 2
+    return (dx, dx, dz)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_submap_dense(vmap_: VoxelMap, bbox_min, bbox_max, min_nb_points,
+                         center, cfg: MapConfig) -> DenseGrid:
+    """Submap selection (bbox + moving-object filter with fallback, as
+    extract_submap_index) rasterized into a DenseGrid centered at `center`."""
+    res = effective_resolution(cfg)
+    half = half_extent(cfg)
+    lo = jnp.maximum(jnp.floor((bbox_min + half) / res), 0.0)
+    hi = jnp.minimum(jnp.floor((bbox_max + half) / res), cfg.grid_size - 1)
+    vi = jnp.floor((vmap_.xyz + half) / res)
+    in_bbox = vmap_.valid & jnp.all((vi >= lo) & (vi <= hi), axis=-1)
+
+    if cfg.min_frames_per_voxel > 1:
+        still = vmap_.count >= cfg.min_frames_per_voxel
+        clean = in_bbox & (still | vmap_.fixed)
+        use_all = (min_nb_points < 0) | (jnp.sum(clean) < min_nb_points)
+        selected = jnp.where(use_all, in_bbox, clean)
+    else:
+        selected = in_bbox
+
+    bucket = cfg.bucket_factor * cfg.leaf_size
+    dims = grid_dims(cfg)
+    extent = jnp.asarray([cfg.submap_extent_xy, cfg.submap_extent_xy,
+                          cfg.submap_extent_z], jnp.float32)
+    corner = jnp.floor((center - extent / 2.0) / bucket) * bucket
+    return build_dense_grid(vmap_.xyz, selected, corner, dims, bucket,
+                            cfg.bucket_capacity)
+
+
 def gather_valid_points(vmap_: VoxelMap, clean: bool, cfg: MapConfig):
     """Host-side extraction of stored points (RollingGrid::Get 95-114).
 

@@ -144,11 +144,13 @@ class Slam:
     # Main entry
     # ------------------------------------------------------------------
 
-    def add_frame(self, frame: dict) -> dict:
+    def add_frame(self, frame: dict, next_frame: dict = None) -> dict:
         """Process one sweep (Slam::AddFrames single-LiDAR path).
 
         `frame` is a dict with arrays xyz (n,3), intensity, laser_id, time
-        and scalar `stamp` [s] (+ optional `seq`). Returns a summary dict.
+        and scalar `stamp` [s] (+ optional `seq`). Pass the upcoming sweep as
+        `next_frame` to overlap its conversion/upload with this frame's
+        device execution. Returns a summary dict.
         """
         import time as _time
         t0 = _time.perf_counter()
@@ -159,10 +161,13 @@ class Slam:
             return skip
         stamp = float(frame["stamp"])
 
-        # ---- host-side input conversion ----
-        ri = build_range_image(frame["xyz"], frame["intensity"], frame["laser_id"],
-                               frame["time"], cfg.extractor.n_rings,
-                               cfg.extractor.max_ring_points)
+        # ---- host-side input conversion (or use the prefetched upload) ----
+        pre = getattr(self, "_prefetched", None)
+        if pre is not None and pre[0] == frame.get("stamp"):
+            ri = pre[1]
+            self._prefetched = None
+        else:
+            ri = self._build_ri(frame)
         if self.azimuthal_resolution <= 1e-6 or self.azimuthal_resolution > np.pi / 4:
             self.azimuthal_resolution = float(estimate_azimuthal_resolution(ri))
 
@@ -174,12 +179,23 @@ class Slam:
         if cfg.verbosity >= 3:
             timer.init("device step")
         res = self._process(ri, maps_in, prev_kp, inp, cfg, self._map_cfgs_tuple, first)
+        # overlap the next sweep's host conversion + upload with this frame's
+        # device execution (the dispatch above is asynchronous)
+        if next_frame is not None and next_frame.get("xyz") is not None \
+                and len(next_frame["xyz"]) > 0:
+            self._prefetched = (next_frame["stamp"], self._build_ri(next_frame))
         if cfg.verbosity >= 3:
             jax.block_until_ready(res.pose)
             timer.stop_and_display("device step")
         out = self._apply_result(res, stamp, t0)
         self.last_stamp = frame["stamp"]
         return out
+
+    def _build_ri(self, frame):
+        cfg = self.cfg
+        return build_range_image(frame["xyz"], frame["intensity"], frame["laser_id"],
+                                 frame["time"], cfg.extractor.n_rings,
+                                 cfg.extractor.max_ring_points)
 
     def add_frames(self, frames) -> dict:
         """Process one synchronized multi-LiDAR acquisition
