@@ -352,8 +352,11 @@ def knn_query(index: PointIndex, queries, k: int, half: float, bucket_size: floa
             cell_d2 = jnp.where(cell_ok, cell_d2, jnp.inf)
             _, keep = jax.lax.top_k(-cell_d2, max_cells)             # (q, max_cells)
             ckey = jnp.take_along_axis(ckey, keep, axis=1)
-        start = jnp.searchsorted(index.keys, ckey)                   # (q, C')
-        end = jnp.searchsorted(index.keys, ckey, side="right")
+        # scan_unrolled: binary search as 17 unrolled gather steps instead of
+        # a while loop — nested-loop iteration overhead dominates on TPU when
+        # this runs inside the ICP fori body (profiled ~20x slower otherwise)
+        start = jnp.searchsorted(index.keys, ckey, method="scan_unrolled")
+        end = jnp.searchsorted(index.keys, ckey, side="right", method="scan_unrolled")
         span = jnp.arange(bucket_capacity, dtype=jnp.int32)
         cand = start[..., None] + span                               # (q, C', cap)
         cand_ok = cand < end[..., None]
