@@ -62,7 +62,6 @@ def icp_register(
     time_range=(0.0, 0.0),
     max_extrapolation_ratio: float = 3.0,
     extras=(),
-    unroll: bool = True,
 ) -> ICPResult:
     """Run the full ICP-LM loop. All structure args must be static.
 
@@ -143,15 +142,8 @@ def icp_register(
         return pose, active, failed, total, counts, H, statuses, weights
 
     state = (pose, active, failed, total, counts, H, statuses, weights)
-    if unroll:
-        # unrolled rounds let XLA schedule/overlap freely (faster on TPU);
-        # the fori form compiles ~3x faster — useful for cold-start-bound runs
-        for it in range(icp_iters):
-            state = body(jnp.int32(it), state)
-        pose, active, failed, total, counts, H, statuses, weights = state
-    else:
-        pose, active, failed, total, counts, H, statuses, weights = \
-            jax.lax.fori_loop(0, icp_iters, body, state)
+    pose, active, failed, total, counts, H, statuses, weights = \
+        jax.lax.fori_loop(0, icp_iters, body, state)
 
     final_warp = None
     if undistort:

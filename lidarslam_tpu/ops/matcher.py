@@ -65,7 +65,7 @@ def _finish(A, P, X, weight, ok, status):
 def _knn(index: PointIndex, world, k, params: MatchingConfig, geom):
     half, bucket, rings = geom
     d2, idx = knn_query(index, world, k, half, bucket, search_rings=rings)
-    nbr = index.gather_rows(idx)               # (Q, k, 3) — small, post-top-k
+    nbr = index.xyz[idx]                       # (Q, k, 3)
     found = jnp.isfinite(d2)
     return d2, idx, nbr, found
 

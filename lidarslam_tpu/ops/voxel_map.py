@@ -254,28 +254,12 @@ def clear_old_points(vmap_: VoxelMap, current_time, cfg: MapConfig) -> VoxelMap:
 # -----------------------------------------------------------------------------
 
 class PointIndex(NamedTuple):
-    """Points sorted by coarse bucket key, ready for neighbor queries.
-
-    Coordinates are stored planar (separate x/y/z arrays): on TPU a (N, 3)
-    array is lane-tiled with the minor dim padded 3 -> 128, so every gather
-    and elementwise pass over it moves ~42x the real data (observed as
-    hundreds of MB of traffic per k-NN gather in the fused program)."""
+    """Points sorted by coarse bucket key, ready for neighbor queries."""
 
     keys: jax.Array   # (N,) i32 sorted bucket keys (BIG for excluded)
-    xs: jax.Array     # (N,) f32 sorted coordinates
-    ys: jax.Array
-    zs: jax.Array
+    xyz: jax.Array    # (N, 3) f32 sorted accordingly
     ring: jax.Array   # (N,) i32 laser ring (0 where unknown)
     n: jax.Array      # () i32 number of indexed points
-
-    @property
-    def xyz(self):
-        """(N, 3) view for host-side consumers/tests (stacks on access)."""
-        return jnp.stack([self.xs, self.ys, self.zs], axis=-1)
-
-    def gather_rows(self, idx):
-        """Stack the (small) selected rows: idx (...,) -> (..., 3)."""
-        return jnp.stack([self.xs[idx], self.ys[idx], self.zs[idx]], axis=-1)
 
 
 def _bucket_params(half: float, bucket_size: float):
@@ -293,7 +277,7 @@ def build_point_index(xyz, valid, half: float, bucket_size: float, ring=None) ->
         ring = jnp.zeros(xyz.shape[0], jnp.int32)
     skey, sx, sy, sz, sring = jax.lax.sort(
         (key, xyz[:, 0], xyz[:, 1], xyz[:, 2], ring.astype(jnp.int32)), num_keys=1)
-    return PointIndex(keys=skey, xs=sx, ys=sy, zs=sz, ring=sring,
+    return PointIndex(keys=skey, xyz=jnp.stack([sx, sy, sz], -1), ring=sring,
                       n=jnp.sum(inb).astype(jnp.int32))
 
 
@@ -376,14 +360,11 @@ def knn_query(index: PointIndex, queries, k: int, half: float, bucket_size: floa
         span = jnp.arange(bucket_capacity, dtype=jnp.int32)
         cand = start[..., None] + span                               # (q, C', cap)
         cand_ok = cand < end[..., None]
-        cand = jnp.clip(cand, 0, index.keys.shape[0] - 1)
+        cand = jnp.clip(cand, 0, index.xyz.shape[0] - 1)
         cflat = cand.reshape(nq, -1)
         okflat = cand_ok.reshape(nq, -1)
-        # planar candidate gathers: (q, CC) lanes-major, no 3->128 padding
-        dx = index.xs[cflat] - qc[:, 0:1]
-        dy = index.ys[cflat] - qc[:, 1:2]
-        dz = index.zs[cflat] - qc[:, 2:3]
-        d2 = dx * dx + dy * dy + dz * dz
+        nbr = index.xyz[cflat]                                       # (q, CC, 3)
+        d2 = jnp.sum((nbr - qc[:, None, :]) ** 2, axis=-1)
         d2 = jnp.where(okflat, d2, jnp.inf)
         neg, sel = jax.lax.top_k(-d2, k)
         return -neg, jnp.take_along_axis(cflat, sel, axis=1)
