@@ -15,11 +15,11 @@ import numpy as np
 import jax.numpy as jnp
 
 from lidarslam_tpu.core import se3
-from lidarslam_tpu.ops.voxel_map import PointIndex, knn_query
+from lidarslam_tpu.ops.voxel_map import SubmapView, brute_knn
 
 
-def lcp_overlap(sample_xyz, sample_valid, indices: Sequence[PointIndex],
-                leaf_sizes: Sequence[float], geoms) -> jnp.ndarray:
+def lcp_overlap(sample_xyz, sample_valid, indices: Sequence[SubmapView],
+                leaf_sizes: Sequence[float]) -> jnp.ndarray:
     """Mean best per-map Gaussian probability of having a close map neighbor.
 
     Args:
@@ -27,9 +27,8 @@ def lcp_overlap(sample_xyz, sample_valid, indices: Sequence[PointIndex],
       indices/leaf_sizes/geoms: one entry per map to test against.
     Returns scalar overlap in [0, 1] (−1 when nothing to compare)."""
     best = jnp.zeros(sample_xyz.shape[0])
-    for index, leaf, geom in zip(indices, leaf_sizes, geoms):
-        half, bucket, rings = geom
-        d2, _ = knn_query(index, sample_xyz, 1, half, bucket, search_rings=rings)
+    for index, leaf in zip(indices, leaf_sizes):
+        d2, _ = brute_knn(index, sample_xyz, 1)
         sigma2 = (leaf / 3.0) ** 2
         proba = jnp.where(jnp.isfinite(d2[:, 0]), jnp.exp(-d2[:, 0] / (2.0 * sigma2)), 0.0)
         best = jnp.maximum(best, proba)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from lidarslam_tpu.config import MatchStatus, MatchingConfig
 from lidarslam_tpu.core import pca, se3
-from lidarslam_tpu.ops.voxel_map import PointIndex, knn_query
+from lidarslam_tpu.ops.voxel_map import SubmapView, brute_knn
 
 
 class Matches(NamedTuple):
@@ -62,15 +62,15 @@ def _finish(A, P, X, weight, ok, status):
     )
 
 
-def _knn(index: PointIndex, world, k, params: MatchingConfig, geom):
-    half, bucket, rings = geom
-    d2, idx = knn_query(index, world, k, half, bucket, search_rings=rings)
-    nbr = index.xyz[idx]                       # (Q, k, 3)
+def _knn(index: SubmapView, world, k, params: MatchingConfig, geom=None):
+    # exact brute-force scan (see SubmapView); `geom` retained for API shape
+    d2, idx = brute_knn(index, world, k)
+    nbr = index.xyz[idx]                       # (Q, k, 3) — post-top-k, small
     found = jnp.isfinite(d2)
     return d2, idx, nbr, found
 
 
-def match_planes(kp_xyz, kp_valid, index: PointIndex, pose, params: MatchingConfig, geom):
+def match_planes(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfig, geom):
     """Point-to-plane matches (BuildPlaneMatch semantics)."""
     k = params.plane_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
@@ -99,7 +99,7 @@ def match_planes(kp_xyz, kp_valid, index: PointIndex, pose, params: MatchingConf
     return _finish(A, mean, kp_xyz, weight, ok, status)
 
 
-def match_edges(kp_xyz, kp_valid, index: PointIndex, pose, params: MatchingConfig, geom):
+def match_edges(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfig, geom):
     """Point-to-line matches; neighbor filter per params.single_edge_per_ring."""
     k = params.edge_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
@@ -130,7 +130,7 @@ def match_edges(kp_xyz, kp_valid, index: PointIndex, pose, params: MatchingConfi
     return _finish(A, mean, kp_xyz, weight, ok, status)
 
 
-def match_blobs(kp_xyz, kp_valid, index: PointIndex, pose, params: MatchingConfig, geom):
+def match_blobs(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfig, geom):
     """Point-to-ellipsoid matches (BuildBlobMatch semantics)."""
     k = params.blob_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)

@@ -91,12 +91,7 @@ def process_keypoints(
     with its own extractor and the keypoint sets are merged in BASE frame
     (Slam::ExtractKeypoints + AggregateFrames semantics)."""
     types = cfg.used_types
-    geoms = [None, None, None]
-    for t in types:
-        mc = map_cfgs[int(t)]
-        geoms[int(t)] = (voxel_map.half_extent(mc), mc.bucket_factor * mc.leaf_size,
-                         mc.search_rings)
-    geoms = tuple(geoms)
+    geoms = (None, None, None)  # brute-force k-NN needs no index geometry
 
     # ---------------- ego-motion registration (optional) ----------------
     trel = inp.trel_prior
@@ -113,8 +108,8 @@ def process_keypoints(
             pk = prev_keypoints[ti]
             e_xyz[ti] = kps[ti].xyz
             e_val[ti] = kps[ti].valid
-            e_idx[ti] = voxel_map.build_point_index(
-                pk.xyz, pk.valid, geoms[ti][0], geoms[ti][1], ring=pk.ring)
+            e_idx[ti] = voxel_map.SubmapView(xyz=pk.xyz, ring=pk.ring,
+                                             valid=pk.valid)
         ego = icp.icp_register(
             icp.ICPInputs(kp_xyz=tuple(e_xyz), kp_valid=tuple(e_val),
                           index=tuple(e_idx)),
@@ -159,7 +154,7 @@ def process_keypoints(
             big = jnp.float32(3e38)
             bbox_min = jnp.min(jnp.where(kp.valid[:, None], world, big), axis=0)
             bbox_max = jnp.max(jnp.where(kp.valid[:, None], world, -big), axis=0)
-            index[ti] = voxel_map.extract_submap_index(
+            index[ti] = voxel_map.extract_submap_view(
                 m, bbox_min, bbox_max, (kp.count // 2).astype(jnp.int32), mc)
         indices = index
 
@@ -202,7 +197,7 @@ def process_keypoints(
     # ---------------- overlap (optional, static) ----------------
     overlap = jnp.full((), -1.0)
     if cfg.confidence.overlap_sampling_ratio > 0 and not first_frame and ri is not None:
-        overlap = _overlap(ri, pose, indices, cfg, map_cfgs, geoms, warp)
+        overlap = _overlap(ri, pose, indices, cfg, map_cfgs, warp)
 
     # ---------------- keyframe gate + map update ----------------
     kf_motion = _relative_pose(inp.kf_last_pose, pose)
@@ -275,7 +270,7 @@ def _set(tup, i, v):
     return tuple(out)
 
 
-def _overlap(ri: RangeImage, pose, indices, cfg: SlamConfig, map_cfgs, geoms, warp):
+def _overlap(ri: RangeImage, pose, indices, cfg: SlamConfig, map_cfgs, warp):
     """LCP overlap of a strided sample of the registered sweep."""
     flat = ri.xyz.reshape(-1, 3)
     valid = ri.valid.ravel()
@@ -293,5 +288,4 @@ def _overlap(ri: RangeImage, pose, indices, cfg: SlamConfig, map_cfgs, geoms, wa
     return confidence_mod.lcp_overlap(
         world, svalid,
         [indices[int(t)] for t in types],
-        [map_cfgs[int(t)].leaf_size for t in types],
-        [geoms[int(t)] for t in types])
+        [map_cfgs[int(t)].leaf_size for t in types])

@@ -375,6 +375,81 @@ def knn_query(index: PointIndex, queries, k: int, half: float, bucket_size: floa
 
 
 # -----------------------------------------------------------------------------
+#   Brute-force exact k-NN (chunked, planar differences + top-k)
+# -----------------------------------------------------------------------------
+
+class SubmapView(NamedTuple):
+    """A masked view over the map's point slots for exact neighbor search.
+
+    No index structure at all: the matcher's k-NN is a chunked brute-force
+    scan — per map chunk, planar per-coordinate difference broadcasts (pure
+    VPU, no gathers, no (N,3) lane padding) and a top-k merge. Exact kd-tree
+    parity with no coverage radius, and on TPU it profiles far below the
+    sort + searchsorted + gather bucket path inside the fused program."""
+
+    xyz: jax.Array     # (M, 3) f32
+    ring: jax.Array    # (M,) i32
+    valid: jax.Array   # (M,) bool
+
+
+def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192):
+    """Exact k nearest valid points per query.
+
+    Returns (sq_dists (Q, k) ascending with +inf for missing, rows (Q, k))."""
+    M = view.xyz.shape[0]
+    Q = queries.shape[0]
+    qx, qy, qz = queries[:, 0:1], queries[:, 1:2], queries[:, 2:3]
+    chunk = min(chunk, M)
+    best_d = jnp.full((Q, k), jnp.inf, jnp.float32)
+    best_i = jnp.zeros((Q, k), jnp.int32)
+    for c0 in range(0, M, chunk):
+        px = view.xyz[c0:c0 + chunk, 0][None, :]
+        py = view.xyz[c0:c0 + chunk, 1][None, :]
+        pz = view.xyz[c0:c0 + chunk, 2][None, :]
+        v = view.valid[c0:c0 + chunk][None, :]
+        dx = qx - px
+        dy = qy - py
+        dz = qz - pz
+        d2 = dx * dx + dy * dy + dz * dz
+        d2 = jnp.where(v, d2, jnp.inf)
+        if d2.shape[1] < k:  # tiny target sets: pad so top_k is well-defined
+            pad = k - d2.shape[1]
+            d2 = jnp.concatenate([d2, jnp.full((Q, pad), jnp.inf, d2.dtype)], axis=1)
+        nd, ni = jax.lax.top_k(-d2, k)
+        ni = jnp.minimum(ni, M - 1 - c0)
+        cand_d = jnp.concatenate([best_d, -nd], axis=1)
+        cand_i = jnp.concatenate([best_i, ni.astype(jnp.int32) + c0], axis=1)
+        nd2, sel = jax.lax.top_k(-cand_d, k)
+        best_d = -nd2
+        best_i = jnp.take_along_axis(cand_i, sel, axis=1)
+    return best_d, best_i
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_submap_view(vmap_: VoxelMap, bbox_min, bbox_max, min_nb_points,
+                        cfg: MapConfig) -> SubmapView:
+    """Submap selection (bbox + moving-object filter with fallback,
+    BuildSubMapKdTree 362-442 semantics) as a masked view — no sort, no
+    index build."""
+    res = effective_resolution(cfg)
+    half = half_extent(cfg)
+    lo = jnp.maximum(jnp.floor((bbox_min + half) / res), 0.0)
+    hi = jnp.minimum(jnp.floor((bbox_max + half) / res), cfg.grid_size - 1)
+    vi = jnp.floor((vmap_.xyz + half) / res)
+    in_bbox = vmap_.valid & jnp.all((vi >= lo) & (vi <= hi), axis=-1)
+
+    if cfg.min_frames_per_voxel > 1:
+        still = vmap_.count >= cfg.min_frames_per_voxel
+        clean = in_bbox & (still | vmap_.fixed)
+        use_all = (min_nb_points < 0) | (jnp.sum(clean) < min_nb_points)
+        selected = jnp.where(use_all, in_bbox, clean)
+    else:
+        selected = in_bbox
+    return SubmapView(xyz=vmap_.xyz, ring=jnp.zeros(vmap_.xyz.shape[0], jnp.int32),
+                      valid=selected)
+
+
+# -----------------------------------------------------------------------------
 #   Dense cell-table submap grid (search-free k-NN)
 # -----------------------------------------------------------------------------
 

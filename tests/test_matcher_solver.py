@@ -7,18 +7,17 @@ import pytest
 from lidarslam_tpu.config import (Keypoint, MatchStatus, MatchingConfig, SolverConfig)
 from lidarslam_tpu.core import se3
 from lidarslam_tpu.ops import icp, matcher, solver
-from lidarslam_tpu.ops.voxel_map import build_point_index
+from lidarslam_tpu.ops.voxel_map import SubmapView
 
-HALF = 20.0
-BUCKET = 2.0
-GEOM = (HALF, BUCKET, 2)
+GEOM = None
 RNG = np.random.default_rng(0)
 
 
 def _index(pts, ring=None):
     pts = np.asarray(pts, np.float32)
-    return build_point_index(jnp.asarray(pts), jnp.ones(len(pts), bool), HALF, BUCKET,
-                             ring=None if ring is None else jnp.asarray(ring, np.int32))
+    ring = np.zeros(len(pts), np.int32) if ring is None else np.asarray(ring, np.int32)
+    return SubmapView(xyz=jnp.asarray(pts), ring=jnp.asarray(ring),
+                      valid=jnp.ones(len(pts), bool))
 
 
 def _wall(n, normal_axis=1, offset=5.0, extent=8.0, jitter=0.0):
@@ -274,7 +273,8 @@ def test_icp_recovers_pose():
 
 def test_icp_fails_gracefully_without_map():
     empty = np.zeros((8, 3), np.float32)
-    idx = build_point_index(jnp.asarray(empty), jnp.zeros(8, bool), HALF, BUCKET)
+    idx = SubmapView(xyz=jnp.asarray(empty), ring=jnp.zeros(8, jnp.int32),
+                     valid=jnp.zeros(8, bool))
     kp = jnp.asarray(RNG.uniform(-5, 5, (64, 3)).astype(np.float32))
     inputs = icp.ICPInputs(
         kp_xyz=(kp, kp, None), kp_valid=(jnp.ones(64, bool), jnp.ones(64, bool), None),
