@@ -58,6 +58,33 @@ class FrameResult(NamedTuple):
     warp: object               # final WarpParams or None
     statuses: tuple            # (Q,) uint8 per used type
     weights: tuple             # (Q,) f32 per used type
+    packed: jax.Array = None   # (58,) f32 — all host-bound scalars in one
+                               # transfer (pose, trel, counts, flags, cov,
+                               # roll); the per-frame sync fetches only this
+
+
+def pack_scalars(pose, trel, failed, total, counts, cov, roll_offset, is_kf, overlap):
+    return jnp.concatenate([
+        pose, trel, counts.astype(jnp.float32),
+        jnp.stack([failed.astype(jnp.float32), total.astype(jnp.float32),
+                   is_kf.astype(jnp.float32), overlap]),
+        cov.ravel(), roll_offset.astype(jnp.float32)])
+
+
+def unpack_scalars(packed):
+    """numpy (58,) -> dict mirroring pack_scalars."""
+    import numpy as np
+    return {
+        "pose": np.asarray(packed[0:6], np.float64),
+        "trel": np.asarray(packed[6:12], np.float64),
+        "counts": packed[12:15].astype(np.int64),
+        "failed": bool(packed[15] > 0.5),
+        "total": int(packed[16]),
+        "is_kf": bool(packed[17] > 0.5),
+        "overlap": float(packed[18]),
+        "cov": np.asarray(packed[19:55], np.float64).reshape(6, 6),
+        "roll_offset": packed[55:58].astype(np.int64),
+    }
 
 
 def process_frame(
@@ -252,7 +279,9 @@ def process_keypoints(
         total_matches=total, match_counts=counts, covariance=cov,
         position_error=pos_err, orientation_error=ori_err,
         roll_offset=offset, is_keyframe=do_update, overlap=overlap, warp=warp,
-        statuses=statuses, weights=wts)
+        statuses=statuses, weights=wts,
+        packed=pack_scalars(pose, trel, failed, total, counts, cov, offset,
+                            do_update, overlap))
 
 
 def _relative_pose(pose_a, pose_b):

@@ -313,10 +313,12 @@ class Slam:
         """One host sync for the scalar outputs, then float64 bookkeeping."""
         import time as _time
         cfg = self.cfg
-        pose_rel, trel, failed, total, counts, cov, roll_offset, is_kf, overlap = \
-            jax.device_get((res.pose, res.trel, res.failed, res.total_matches,
-                            res.match_counts, res.covariance, res.roll_offset,
-                            res.is_keyframe, res.overlap))
+        # a single (58,) transfer instead of nine small ones — the per-frame
+        # sync is tunnel-RTT bound
+        u = pipeline.unpack_scalars(jax.device_get(res.packed))
+        pose_rel, trel, failed, total = u["pose"], u["trel"], u["failed"], u["total"]
+        counts, cov, roll_offset = u["counts"], u["cov"], u["roll_offset"]
+        is_kf, overlap = u["is_kf"], u["overlap"]
 
         # ---- host bookkeeping ----
         self.maps = {k: res.maps[int(k)] for k in cfg.used_types}
