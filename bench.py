@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--rings", type=int, default=16, help="laser rings (16=VLP-16, 128=VLS-128)")
     ap.add_argument("--azimuth", type=int, default=1800, help="firings per ring per sweep")
+    ap.add_argument("--stream", action="store_true",
+                    help="device-chained streaming mode (no per-frame host sync)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -61,20 +63,36 @@ def main():
 
     slam = Slam(cfg)
     for i in range(args.warmup):
-        r = slam.add_frame(frames[i])
+        t0 = time.perf_counter()
+        if args.stream:
+            slam.add_frame_async(frames[i])
+            r = (slam.flush() or [{}])[-1]
+            r["duration"] = time.perf_counter() - t0
+        else:
+            r = slam.add_frame(frames[i])
         if args.verbose:
             print(f"# warmup {i}: {r.get('duration', 0)*1000:.0f} ms "
                   f"matches={r.get('n_matches')}", file=sys.stderr)
 
     t0 = time.perf_counter()
     durations = []
-    for i in range(args.warmup, n_total):
-        nxt = frames[i + 1] if i + 1 < n_total else None
-        r = slam.add_frame(frames[i], next_frame=nxt)
-        durations.append(r["duration"])
-        if r.get("failure"):
-            print(f"# WARNING frame {i} failed", file=sys.stderr)
-    wall = time.perf_counter() - t0
+    if args.stream:
+        for i in range(args.warmup, n_total):
+            slam.add_frame_async(frames[i])
+        outs = slam.flush()
+        wall = time.perf_counter() - t0
+        durations = [wall / args.frames] * args.frames
+        for i, r in enumerate(outs):
+            if r.get("failure"):
+                print(f"# WARNING frame {i} failed", file=sys.stderr)
+    else:
+        for i in range(args.warmup, n_total):
+            nxt = frames[i + 1] if i + 1 < n_total else None
+            r = slam.add_frame(frames[i], next_frame=nxt)
+            durations.append(r["duration"])
+            if r.get("failure"):
+                print(f"# WARNING frame {i} failed", file=sys.stderr)
+        wall = time.perf_counter() - t0
 
     scans_per_sec = args.frames / wall
     if args.verbose:

@@ -52,6 +52,10 @@ def _frames_from_args(args):
         sensor = synthetic.SensorModel(n_rings=args.rings)
         return synthetic.generate_sequence(n_frames=args.synthetic, sensor=sensor,
                                            motion_distortion=args.undistortion > 0)
+    if getattr(args, "kitti_dir", None):
+        from lidarslam_tpu.io import kitti
+        return list(kitti.load_sequence(args.kitti_dir, rate=args.rate,
+                                        limit=args.limit or None))
     if args.pcd_dir:
         from lidarslam_tpu.io import pcd
         frames = []
@@ -67,7 +71,7 @@ def _frames_from_args(args):
                 "seq": i,
             })
         return frames
-    raise SystemExit("need --synthetic N or --pcd-dir DIR")
+    raise SystemExit("need --synthetic N, --pcd-dir DIR or --kitti-dir DIR")
 
 
 def cmd_run(args):
@@ -135,6 +139,8 @@ def main(argv=None):
     run.add_argument("--config", help="reference-style yaml config (configs/*.yaml)")
     run.add_argument("--synthetic", type=int, default=0, metavar="N")
     run.add_argument("--pcd-dir")
+    run.add_argument("--kitti-dir", help="KITTI velodyne dir of .bin sweeps")
+    run.add_argument("--limit", type=int, default=0, help="max frames to process")
     run.add_argument("--rate", type=float, default=10.0, help="sweeps per second")
     run.add_argument("--out", required=True)
     run.add_argument("--rings", type=int, default=16)

@@ -284,6 +284,87 @@ def process_keypoints(
                             do_update, overlap))
 
 
+class StreamState(NamedTuple):
+    """Device-resident cross-frame state for the streaming (chained) mode.
+
+    In this mode nothing round-trips to the host per frame: the ego-motion
+    prior is extrapolated in-graph from the two previous device poses, the
+    keyframe state and rolling-origin accumulate on device, and the host
+    pulls the per-frame packed outputs in batches (`Slam.flush`). This
+    removes the per-frame sync RTT — the dominant latency term when the
+    device sits behind a high-latency link."""
+
+    maps: tuple            # VoxelMap per type
+    prev_keypoints: tuple  # Keypoints per type (previous sweep)
+    pose: jax.Array        # (6,) latest pose, current MAP frame
+    prev_pose: jax.Array   # (6,) pose before it, current MAP frame
+    t_cur: jax.Array       # () stamp of `pose`
+    t_prev: jax.Array      # () stamp of `prev_pose`
+    kf_pose: jax.Array     # (6,) last keyframe pose, current MAP frame
+    kf_counter: jax.Array  # () int32
+    origin_vox: jax.Array  # (3,) int32 accumulated window shifts
+    n_frames: jax.Array    # () int32
+
+
+def process_frame_stream(ri: RangeImage, state: StreamState, stamp, az_res,
+                         cfg: SlamConfig, map_cfgs: tuple, first_frame: bool,
+                         extras=()):
+    """One chained streaming step: returns (state', packed_out (61,)).
+
+    packed_out = FrameResult.packed (58) + origin_vox after this frame (3);
+    poses in it are relative to the origin *before* this frame's roll."""
+    # in-graph constant-velocity extrapolation (Slam.cxx:821-836)
+    ratio_guard = cfg.max_extrapolation_ratio
+    Rw, tw = undistortion.jinterpolate_pose(state.prev_pose, state.pose, stamp,
+                                            state.t_prev, state.t_cur, ratio_guard)
+    ext_pose = se3.jrt_to_pose(Rw, tw)
+    trel = _relative_pose(state.pose, ext_pose)
+    trel = jnp.where(state.n_frames >= 2, trel, jnp.zeros(6))
+
+    ext = extractor.extract_keypoints(ri, az_res, cfg.extractor)
+    kps = (ext.edges, ext.planes, ext.blobs)
+
+    inp = FrameInputs(
+        trel_prior=trel, prev_pose=state.pose, t_prev=state.t_cur,
+        stamp=stamp, az_resolution=az_res, kf_last_pose=state.kf_pose,
+        kf_counter=state.kf_counter, extras=extras)
+    res = process_keypoints(kps, ri, state.maps, state.prev_keypoints, inp,
+                            cfg, map_cfgs, first_frame)
+
+    shared_cfg = map_cfgs[int(cfg.used_types[0])]
+    shift = res.roll_offset.astype(jnp.float32) * voxel_map.effective_resolution(shared_cfg)
+    new_state = StreamState(
+        maps=res.maps,
+        prev_keypoints=res.keypoints,
+        pose=res.pose - jnp.concatenate([shift, jnp.zeros(3)]),
+        prev_pose=state.pose - jnp.concatenate([shift, jnp.zeros(3)]),
+        t_cur=jnp.asarray(stamp, jnp.float32),
+        t_prev=state.t_cur,
+        kf_pose=jnp.where(res.is_keyframe, res.pose, state.kf_pose)
+        - jnp.concatenate([shift, jnp.zeros(3)]),
+        kf_counter=state.kf_counter + res.is_keyframe.astype(jnp.int32),
+        origin_vox=state.origin_vox + res.roll_offset,
+        n_frames=state.n_frames + 1,
+    )
+    packed = jnp.concatenate([
+        res.packed, (state.origin_vox + res.roll_offset).astype(jnp.float32)])
+    return new_state, packed, res.keypoints
+
+
+def init_stream_state(cfg: SlamConfig, map_cfgs) -> StreamState:
+    from lidarslam_tpu.ops.frame import Keypoints as _KP
+
+    cap = cfg.extractor.max_keypoints
+    return StreamState(
+        maps=tuple(voxel_map.VoxelMap.empty(map_cfgs[i]) if cfg.use_keypoints(Keypoint(i))
+                   else None for i in range(3)),
+        prev_keypoints=tuple(_KP.empty(cap) for _ in range(3)),
+        pose=jnp.zeros(6), prev_pose=jnp.zeros(6),
+        t_cur=jnp.zeros(()), t_prev=jnp.zeros(()),
+        kf_pose=jnp.zeros(6), kf_counter=jnp.zeros((), jnp.int32),
+        origin_vox=jnp.zeros(3, jnp.int32), n_frames=jnp.zeros((), jnp.int32))
+
+
 def _relative_pose(pose_a, pose_b):
     """xyzrpy of A^-1 B."""
     Ra, ta = se3.jpose_to_rt(pose_a)

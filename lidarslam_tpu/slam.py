@@ -91,6 +91,10 @@ class Slam:
             static_argnames=("cfg", "map_cfgs", "first_frame"),
             donate_argnums=(2,))
         self._extract = jax.jit(extractor_mod.extract_keypoints, static_argnums=(2,))
+        self._process_stream = jax.jit(
+            pipeline.process_frame_stream,
+            static_argnames=("cfg", "map_cfgs", "first_frame"),
+            donate_argnums=(1,))
         self._warp_points = jax.jit(undistortion.warp_points)
         # per-LiDAR-device calibration: BASE <- LIDAR (Slam.h:502-505)
         self.base_to_lidar_offsets: Dict[int, np.ndarray] = {}
@@ -196,6 +200,127 @@ class Slam:
         return build_range_image(frame["xyz"], frame["intensity"], frame["laser_id"],
                                  frame["time"], cfg.extractor.n_rings,
                                  cfg.extractor.max_ring_points)
+
+    # ------------------------------------------------------------------
+    # Streaming (device-chained) mode — no per-frame host sync
+    # ------------------------------------------------------------------
+
+    def add_frame_async(self, frame: dict) -> int:
+        """Enqueue one sweep in streaming mode; returns its frame index.
+
+        The ego-motion prior, keyframe gate and rolling origin all advance on
+        the device, so nothing synchronizes with the host until `flush()`.
+        Results (poses, covariances, confidence) land in the normal logs at
+        flush time. Mixing with the synchronous `add_frame` is allowed only
+        across a flush boundary."""
+        cfg = self.cfg
+        skip = self._check_frame(frame)
+        if skip:
+            return -1
+        stamp = float(frame["stamp"])
+        if getattr(self, "_stream_state", None) is None:
+            self._stream_state = pipeline.init_stream_state(cfg, self._map_cfgs_tuple)
+            self._stream_pending = []
+            if self._maps_populated or self.n_frames > 0:
+                # seed from the host state (previous segment / preloaded maps);
+                # maps are copied because the stream state gets donated
+                res_m = voxel_map.effective_resolution(
+                    self._map_cfgs_tuple[int(cfg.used_types[0])])
+                rel = self.Tworld.copy()
+                rel[:3, 3] -= self.map_origin
+                prev_rel = self.PreviousTworld.copy()
+                prev_rel[:3, 3] -= self.map_origin
+                kf_rel = self.kf_last_pose.copy()
+                kf_rel[:3, 3] -= self.map_origin
+                t_cur = self.log_trajectory[-1]["time"] if self.log_trajectory else 0.0
+                t_prev = self.log_trajectory[-2]["time"] if len(self.log_trajectory) > 1 \
+                    else t_cur
+                self._stream_state = self._stream_state._replace(
+                    maps=tuple(None if self.maps.get(Keypoint(i)) is None
+                               else jax.tree.map(jnp.copy, self.maps[Keypoint(i)])
+                               for i in range(3)),
+                    pose=jnp.asarray(se3.hmat_to_pose(rel), jnp.float32),
+                    prev_pose=jnp.asarray(se3.hmat_to_pose(prev_rel), jnp.float32),
+                    t_cur=jnp.float32(t_cur), t_prev=jnp.float32(t_prev),
+                    kf_pose=jnp.asarray(se3.hmat_to_pose(kf_rel), jnp.float32),
+                    kf_counter=jnp.int32(self.kf_counter),
+                    origin_vox=jnp.asarray(
+                        np.round(self.map_origin / res_m), jnp.int32),
+                    n_frames=jnp.int32(max(self.n_frames, 1)))
+        ri = self._build_ri(frame)
+        if self.azimuthal_resolution <= 1e-6 or self.azimuthal_resolution > np.pi / 4:
+            self.azimuthal_resolution = float(estimate_azimuthal_resolution(ri))
+
+        extras = []
+        if self.wheel_odom.can_be_used():
+            r = self.wheel_odom.compute_constraint(stamp)
+            if r is not None:
+                extras.append(r._replace(
+                    prev_pos=r.prev_pos - jnp.asarray(self.map_origin, jnp.float32)))
+        if self.imu.can_be_used():
+            r = self.imu.compute_constraint(stamp)
+            if r is not None:
+                extras.append(r)
+
+        first = not self._maps_populated and len(self._stream_pending) == 0 \
+            and self.n_frames == 0
+        self._stream_state, packed, kps = self._process_stream(
+            ri, self._stream_state, jnp.float32(stamp),
+            jnp.float32(self.azimuthal_resolution), cfg, self._map_cfgs_tuple,
+            first, tuple(extras))
+        # the state (incl. these keypoint buffers) is donated next call, so
+        # logged references must be distinct device copies (made outside the
+        # jit: no host sync, guaranteed fresh buffers)
+        kps = jax.tree.map(jnp.copy, kps)
+        self._stream_pending.append({"stamp": stamp, "packed": jnp.copy(packed),
+                                     "kps": kps})
+        self.last_stamp = frame["stamp"]
+        return len(self._stream_pending) - 1
+
+    def flush(self) -> list:
+        """Synchronize streaming results into the host logs; returns the
+        per-frame summary dicts of the flushed frames."""
+        if not getattr(self, "_stream_pending", None):
+            return []
+        cfg = self.cfg
+        res_m = voxel_map.effective_resolution(self._map_cfgs_tuple[int(cfg.used_types[0])])
+        packed_all = jax.device_get([p["packed"] for p in self._stream_pending])
+        outs = []
+        for entry, packed in zip(self._stream_pending, packed_all):
+            u = pipeline.unpack_scalars(packed[:58])
+            origin_after_vox = packed[58:61].astype(np.int64)
+            origin_before = (origin_after_vox - u["roll_offset"]).astype(np.float64) * res_m
+            pose_world = u["pose"].copy()
+            Tnew = se3.pose_to_hmat(pose_world)
+            Tnew[:3, 3] += origin_before
+            self.PreviousTworld = self.Tworld.copy()
+            self.Tworld = Tnew
+            self.Trelative = se3.pose_to_hmat(u["trel"])
+            self.covariance = u["cov"]
+            self.failure = u["failed"]
+            self.total_matched_keypoints = u["total"]
+            self.match_counts = u["counts"]
+            self.overlap = u["overlap"]
+            if u["is_kf"]:
+                self.kf_counter += 1
+                self.kf_last_pose = self.Tworld.copy()
+                self._maps_populated = True
+            self.map_origin = origin_after_vox.astype(np.float64) * res_m
+            self.current_keypoints = {Keypoint(i): entry["kps"][i] for i in range(3)}
+            self._device_keypoints = entry["kps"]
+            self._log_state(entry["stamp"])
+            self.n_frames += 1
+            outs.append({"pose": self.Tworld.copy(), "covariance": self.covariance.copy(),
+                         "n_matches": int(u["total"]), "overlap": u["overlap"],
+                         "failure": u["failed"],
+                         "comply_motion_limits": self.comply_motion_limits})
+        self.maps = {k: self._stream_state.maps[int(k)] for k in cfg.used_types}
+        self._stream_pending = []
+        # the stream segment ends here: the host is the source of truth again
+        # and a future segment re-seeds (with map copies) so donation can
+        # never invalidate host-held references
+        self._stream_state = None
+        return outs
 
     def add_frames(self, frames) -> dict:
         """Process one synchronized multi-LiDAR acquisition
@@ -324,6 +449,12 @@ class Slam:
         self.maps = {k: res.maps[int(k)] for k in cfg.used_types}
         self._device_keypoints = res.keypoints
         self.current_keypoints = {Keypoint(i): res.keypoints[i] for i in range(3)}
+        if cfg.verbosity >= 1:
+            cap = cfg.extractor.max_keypoints
+            for t in cfg.used_types:
+                if int(res.keypoints[int(t)].count) >= cap:
+                    self._log(f"{t.name} keypoints hit capacity {cap}; "
+                              "raise extractor.max_keypoints for this sensor")
         self.current_warp = res.warp
         self.failure = bool(failed)
         self.total_matched_keypoints = int(total)

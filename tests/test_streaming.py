@@ -1,0 +1,78 @@
+"""Streaming (device-chained) mode vs the synchronous per-frame path."""
+
+import numpy as np
+import pytest
+
+from lidarslam_tpu import Slam
+from lidarslam_tpu.config import ExtractorConfig, Keypoint, MapConfig, SlamConfig
+from lidarslam_tpu.core import se3
+from lidarslam_tpu.io import synthetic
+
+
+def _cfg():
+    return SlamConfig(
+        extractor=ExtractorConfig(n_rings=16, max_ring_points=1024, max_keypoints=1024),
+        edge_map=MapConfig(leaf_size=0.30, capacity=1 << 15, grid_size=26),
+        plane_map=MapConfig(leaf_size=0.60, capacity=1 << 15, grid_size=26),
+        blob_map=MapConfig(leaf_size=0.30, capacity=1 << 15, grid_size=26))
+
+
+@pytest.fixture(scope="module")
+def frames():
+    return synthetic.generate_sequence(n_frames=10, motion_distortion=False,
+                                       sensor=synthetic.SensorModel(range_noise=0.005))
+
+
+def test_stream_matches_synchronous(frames):
+    sync = Slam(_cfg())
+    sync_poses = []
+    for f in frames:
+        r = sync.add_frame(f)
+        sync_poses.append(r["pose"])
+
+    stream = Slam(_cfg())
+    for f in frames:
+        idx = stream.add_frame_async(f)
+        assert idx >= 0
+    outs = stream.flush()
+    assert len(outs) == len(frames)
+    for i, (o, sp) in enumerate(zip(outs, sync_poses)):
+        assert not o["failure"], f"frame {i}"
+        # float32 in-graph extrapolation vs float64 host extrapolation makes
+        # the priors differ slightly; converged poses must agree closely
+        err = np.linalg.norm(o["pose"][:3, 3] - sp[:3, 3])
+        assert err < 0.03, f"frame {i}: {err}"
+
+
+def test_stream_tracks_ground_truth_and_logs(frames):
+    stream = Slam(_cfg())
+    for f in frames:
+        stream.add_frame_async(f)
+    outs = stream.flush()
+    gt0 = frames[0]["gt_pose"]
+    errs = [np.linalg.norm(o["pose"][:3, 3]
+                           - (se3.hmat_inverse(gt0) @ f["gt_pose"])[:3, 3])
+            for o, f in zip(outs, frames)]
+    assert max(errs) < 0.15, errs
+    # logs and maps populated as in synchronous mode
+    assert len(stream.log_trajectory) == len(frames)
+    assert len(stream.log_keypoints) == len(frames)
+    pts, *_ = stream.get_map_points(Keypoint.PLANE)
+    assert len(pts) > 200
+    # flush is idempotent
+    assert stream.flush() == []
+
+
+def test_stream_partial_flush(frames):
+    stream = Slam(_cfg())
+    for f in frames[:4]:
+        stream.add_frame_async(f)
+    outs1 = stream.flush()
+    assert len(outs1) == 4
+    for f in frames[4:]:
+        stream.add_frame_async(f)
+    outs2 = stream.flush()
+    assert len(outs2) == len(frames) - 4
+    gt0 = frames[0]["gt_pose"]
+    gt = se3.hmat_inverse(gt0) @ frames[-1]["gt_pose"]
+    assert np.linalg.norm(outs2[-1]["pose"][:3, 3] - gt[:3, 3]) < 0.15
