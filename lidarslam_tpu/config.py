@@ -241,6 +241,11 @@ class SlamConfig:
 
     two_d_mode: bool = False
 
+    # quantize host->device sweep uploads (4 mm int16 coords, uint8
+    # intensity, float16 times) — ~2x less upload traffic; quantization is
+    # far below spinning-LiDAR range noise
+    compress_upload: bool = True
+
     # sub-configs
     extractor: ExtractorConfig = ExtractorConfig()
     # per-keypoint-type maps with reference leaf sizes (Slam.cxx:155-157);

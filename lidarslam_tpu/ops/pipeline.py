@@ -25,7 +25,7 @@ from lidarslam_tpu import confidence as confidence_mod
 from lidarslam_tpu.config import EgoMotionMode, Keypoint, SlamConfig, UndistortionMode
 from lidarslam_tpu.core import se3
 from lidarslam_tpu.ops import extractor, icp, solver, undistortion, voxel_map
-from lidarslam_tpu.ops.frame import Keypoints, RangeImage
+from lidarslam_tpu.ops.frame import Keypoints, RangeImage, ensure_range_image
 
 
 class FrameInputs(NamedTuple):
@@ -97,6 +97,7 @@ def process_frame(
     first_frame: bool,
 ) -> FrameResult:
     """Full per-sweep step. `cfg`, `map_cfgs`, `first_frame` are static."""
+    ri = ensure_range_image(ri)
     ext = extractor.extract_keypoints(ri, inp.az_resolution, cfg.extractor)
     kps = (ext.edges, ext.planes, ext.blobs)
     return process_keypoints(kps, ri, maps, prev_keypoints, inp, cfg, map_cfgs,
@@ -313,6 +314,7 @@ def process_frame_stream(ri: RangeImage, state: StreamState, stamp, az_res,
 
     packed_out = FrameResult.packed (58) + origin_vox after this frame (3);
     poses in it are relative to the origin *before* this frame's roll."""
+    ri = ensure_range_image(ri)
     # in-graph constant-velocity extrapolation (Slam.cxx:821-836)
     ratio_guard = cfg.max_extrapolation_ratio
     Rw, tw = undistortion.jinterpolate_pose(state.prev_pose, state.pose, stamp,

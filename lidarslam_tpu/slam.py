@@ -173,7 +173,9 @@ class Slam:
         else:
             ri = self._build_ri(frame)
         if self.azimuthal_resolution <= 1e-6 or self.azimuthal_resolution > np.pi / 4:
-            self.azimuthal_resolution = float(estimate_azimuthal_resolution(ri))
+            from lidarslam_tpu.ops.frame import ensure_range_image
+            self.azimuthal_resolution = float(
+                estimate_azimuthal_resolution(ensure_range_image(ri)))
 
         inp = self._make_inputs(stamp)
         first = not self._maps_populated
@@ -199,7 +201,8 @@ class Slam:
         cfg = self.cfg
         return build_range_image(frame["xyz"], frame["intensity"], frame["laser_id"],
                                  frame["time"], cfg.extractor.n_rings,
-                                 cfg.extractor.max_ring_points)
+                                 cfg.extractor.max_ring_points,
+                                 packed=cfg.compress_upload)
 
     # ------------------------------------------------------------------
     # Streaming (device-chained) mode — no per-frame host sync
@@ -249,7 +252,9 @@ class Slam:
                     n_frames=jnp.int32(max(self.n_frames, 1)))
         ri = self._build_ri(frame)
         if self.azimuthal_resolution <= 1e-6 or self.azimuthal_resolution > np.pi / 4:
-            self.azimuthal_resolution = float(estimate_azimuthal_resolution(ri))
+            from lidarslam_tpu.ops.frame import ensure_range_image
+            self.azimuthal_resolution = float(
+                estimate_azimuthal_resolution(ensure_range_image(ri)))
 
         extras = []
         if self.wheel_odom.can_be_used():
