@@ -392,14 +392,23 @@ class SubmapView(NamedTuple):
     valid: jax.Array   # (M,) bool
 
 
-def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192):
-    """Exact k nearest valid points per query.
+def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192,
+              recall_target: float = 0.99):
+    """k nearest valid points per query (exact distances, per-chunk selection
+    via the TPU-optimized `approx_max_k` PartialReduce at `recall_target`;
+    pass 1.0 for the fully exact `top_k` path).
 
     Returns (sq_dists (Q, k) ascending with +inf for missing, rows (Q, k))."""
     M = view.xyz.shape[0]
     Q = queries.shape[0]
     qx, qy, qz = queries[:, 0:1], queries[:, 1:2], queries[:, 2:3]
     chunk = min(chunk, M)
+
+    def select(neg_d2, kk):
+        if recall_target >= 1.0 or neg_d2.shape[1] <= 128:
+            return jax.lax.top_k(neg_d2, kk)
+        return jax.lax.approx_max_k(neg_d2, kk, recall_target=recall_target)
+
     best_d = jnp.full((Q, k), jnp.inf, jnp.float32)
     best_i = jnp.zeros((Q, k), jnp.int32)
     for c0 in range(0, M, chunk):
@@ -415,7 +424,7 @@ def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192):
         if d2.shape[1] < k:  # tiny target sets: pad so top_k is well-defined
             pad = k - d2.shape[1]
             d2 = jnp.concatenate([d2, jnp.full((Q, pad), jnp.inf, d2.dtype)], axis=1)
-        nd, ni = jax.lax.top_k(-d2, k)
+        nd, ni = select(-d2, k)
         ni = jnp.minimum(ni, M - 1 - c0)
         cand_d = jnp.concatenate([best_d, -nd], axis=1)
         cand_i = jnp.concatenate([best_i, ni.astype(jnp.int32) + c0], axis=1)

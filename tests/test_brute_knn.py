@@ -21,7 +21,8 @@ def test_brute_knn_exact_vs_numpy():
     pts = rng.uniform(-50, 50, (5000, 3)).astype(np.float32)
     valid = rng.uniform(size=5000) > 0.2
     q = rng.uniform(-40, 40, (200, 3)).astype(np.float32)
-    d2, idx = vm.brute_knn(_view(pts, valid), jnp.asarray(q), 8, chunk=1024)
+    d2, idx = vm.brute_knn(_view(pts, valid), jnp.asarray(q), 8, chunk=1024,
+                           recall_target=1.0)
     d2, idx = np.asarray(d2), np.asarray(idx)
     for i in range(200):
         bd = np.sum((pts - q[i]) ** 2, axis=1)
@@ -59,3 +60,16 @@ def test_extract_submap_view_filters():
     xyz = np.asarray(view.xyz)[sel]
     assert len(xyz) == 1
     np.testing.assert_allclose(xyz, [[1.0, 1.0, 0.0]], atol=1e-5)
+
+
+def test_brute_knn_default_recall_close_to_exact():
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-50, 50, (20000, 3)).astype(np.float32)
+    q = rng.uniform(-40, 40, (256, 3)).astype(np.float32)
+    view = _view(pts)
+    d_ex, _ = vm.brute_knn(view, jnp.asarray(q), 10, recall_target=1.0)
+    d_ap, _ = vm.brute_knn(view, jnp.asarray(q), 10)  # default 0.99 recall
+    d_ex, d_ap = np.asarray(d_ex), np.asarray(d_ap)
+    # the approx path may miss a borderline neighbor occasionally, never badly
+    agree = np.isclose(d_ex, d_ap, rtol=1e-4, atol=1e-5).mean()
+    assert agree > 0.97, agree
