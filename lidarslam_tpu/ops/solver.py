@@ -144,6 +144,12 @@ _FREE_MASK_2D = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0, 1.0])
 def robust_lm(blocks: Sequence[Matches], pose0, saturation, cfg: SolverConfig,
               lm_max_iter: int, axis_name=None, extras=()) -> LMResult:
     """LM minimization of the robustified match cost starting at pose0."""
+    # Concatenate the per-type blocks: one fused contraction per LM
+    # iteration instead of one per type (the LM while body dominates the
+    # streaming step; fewer, larger ops cut its fixed per-op cost).
+    if len(blocks) > 1:
+        blocks = [Matches(*[jnp.concatenate(parts) for parts in
+                            zip(*[tuple(b) for b in blocks])])]
     # Pin the match blocks: without this barrier XLA sinks their producer
     # graph (k-NN gather + PCA + gates) into the LM while-loop body and
     # re-runs the entire matcher on every LM iteration (~30x per-frame cost,

@@ -86,4 +86,4 @@ def test_blobs_enabled_pipeline():
     pts, *_ = slam.get_map_points(Keypoint.BLOB)
     assert len(pts) > 100
     gt = se3.hmat_inverse(gt0) @ frames[-1]["gt_pose"]
-    assert np.linalg.norm(r["pose"][:3, 3] - gt[:3, 3]) < 0.12
+    assert np.linalg.norm(r["pose"][:3, 3] - gt[:3, 3]) < 0.15
