@@ -21,8 +21,10 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--rings", type=int, default=16, help="laser rings (16=VLP-16, 128=VLS-128)")
     ap.add_argument("--azimuth", type=int, default=1800, help="firings per ring per sweep")
-    ap.add_argument("--stream", action="store_true",
-                    help="device-chained streaming mode (no per-frame host sync)")
+    ap.add_argument("--stream", dest="stream", action="store_true", default=True,
+                    help="device-chained streaming mode (default)")
+    ap.add_argument("--no-stream", dest="stream", action="store_false",
+                    help="synchronous per-frame API instead of streaming")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
