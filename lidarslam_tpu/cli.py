@@ -97,6 +97,8 @@ def cmd_run(args):
 
     csv_log.write_poses_csv(os.path.join(args.out, "Poses.csv"), poses)
     csv_log.write_evaluators_csv(os.path.join(args.out, "Evaluators.csv"), evals)
+    csv_log.write_kitti_poses(os.path.join(args.out, "poses_kitti.txt"), poses)
+    csv_log.write_tum_poses(os.path.join(args.out, "poses_tum.txt"), poses)
     if args.save_maps:
         slam.save_maps_to_pcd(os.path.join(args.out, "map_"))
     d = np.array([e[3] for e in evals])

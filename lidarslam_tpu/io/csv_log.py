@@ -43,6 +43,24 @@ def read_evaluators_csv(path):
     return np.loadtxt(path, ndmin=2)
 
 
+def write_kitti_poses(path, entries):
+    """KITTI odometry format: 3x4 row-major matrices, one pose per line
+    (evo/kitti-devkit compatible)."""
+    with open(path, "w") as f:
+        for _, H in entries:
+            f.write(" ".join(f"{v:.9e}" for v in np.asarray(H)[:3, :].ravel()) + "\n")
+
+
+def write_tum_poses(path, entries):
+    """TUM trajectory format: `time tx ty tz qx qy qz qw` (evo compatible)."""
+    with open(path, "w") as f:
+        for t, H in entries:
+            q = se3.quat_from_matrix(H[:3, :3])  # (w, x, y, z)
+            tx, ty, tz = H[:3, 3]
+            f.write(f"{t:.9f} {tx:.9f} {ty:.9f} {tz:.9f} "
+                    f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f}\n")
+
+
 @dataclass
 class ComparisonResult:
     success: bool

@@ -120,3 +120,21 @@ def test_cli_run_and_compare(tmp_path):
     cmp = json.loads(r.stdout.strip().splitlines()[-1])
     assert cmp["success"] and cmp["n_compared"] == 5
     assert cmp["max_position_error_m"] < 1e-5  # bitwise-deterministic replay
+
+
+def test_kitti_tum_pose_exports(tmp_path):
+    entries = [(0.1, se3.pose_to_hmat([1, 2, 3, 0.1, 0.2, 0.3])),
+               (0.2, se3.pose_to_hmat([4, 5, 6, -0.1, 0.05, 1.0]))]
+    kp = tmp_path / "poses_kitti.txt"
+    tp = tmp_path / "poses_tum.txt"
+    csv_log.write_kitti_poses(kp, entries)
+    csv_log.write_tum_poses(tp, entries)
+    rows = np.loadtxt(kp).reshape(-1, 3, 4)
+    np.testing.assert_allclose(rows[1], entries[1][1][:3, :], atol=1e-7)
+    tum = np.loadtxt(tp)
+    assert tum.shape == (2, 8)
+    np.testing.assert_allclose(tum[0, 1:4], entries[0][1][:3, 3], atol=1e-7)
+    # quaternion round-trips to the rotation
+    q = tum[1, 4:8]  # x y z w
+    R = se3.quat_to_matrix(np.array([q[3], q[0], q[1], q[2]]))
+    np.testing.assert_allclose(R, entries[1][1][:3, :3], atol=1e-7)
