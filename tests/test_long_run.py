@@ -1,0 +1,40 @@
+"""Longer-horizon stability: 40 frames with a sustained turn."""
+
+import numpy as np
+import pytest
+
+from lidarslam_tpu import Slam
+from lidarslam_tpu.config import ExtractorConfig, MapConfig, SlamConfig
+from lidarslam_tpu.core import se3
+from lidarslam_tpu.io import synthetic
+
+
+def test_forty_frames_with_turn_bounded_drift():
+    traj = synthetic.straight_then_turn_trajectory(speed=2.5, yaw_rate_deg=9.0,
+                                                   turn_start=1.5)
+    frames = synthetic.generate_sequence(
+        n_frames=40, trajectory=traj, motion_distortion=False,
+        sensor=synthetic.SensorModel(range_noise=0.008))
+    cfg = SlamConfig(
+        extractor=ExtractorConfig(n_rings=16, max_ring_points=1024, max_keypoints=1024),
+        edge_map=MapConfig(leaf_size=0.30, capacity=1 << 16, grid_size=26),
+        plane_map=MapConfig(leaf_size=0.60, capacity=1 << 16, grid_size=26),
+        blob_map=MapConfig(leaf_size=0.30, capacity=1 << 16, grid_size=26))
+    slam = Slam(cfg)
+    gt0 = frames[0]["gt_pose"]
+    errs_t, errs_yaw = [], []
+    for f in frames:
+        r = slam.add_frame(f, next_frame=None)
+        assert not r["failure"]
+        gt = se3.hmat_inverse(gt0) @ f["gt_pose"]
+        errs_t.append(np.linalg.norm(r["pose"][:3, 3] - gt[:3, 3]))
+        dR = gt[:3, :3].T @ r["pose"][:3, :3]
+        errs_yaw.append(np.rad2deg(abs(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))))
+    errs_t = np.asarray(errs_t)
+    # 10 m travelled, sustained 9 deg/s yaw: drift must stay bounded and not
+    # blow up through the turn
+    assert errs_t.max() < 0.35, errs_t
+    assert errs_t[-1] < 0.30
+    assert max(errs_yaw) < 2.5, errs_yaw
+    # trajectory length sanity: we actually went somewhere
+    assert np.linalg.norm(slam.Tworld[:3, 3]) > 7.0
