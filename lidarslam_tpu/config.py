@@ -190,6 +190,11 @@ class SolverConfig:
     function_tolerance: float = 1e-6
     initial_lm_lambda: float = 1e-4
     two_d_mode: bool = False
+    # >0: run exactly min(lm_unroll, lm_max_iter) statically-unrolled LM
+    # iterations (convergence-gated no-ops after termination) instead of a
+    # lax.while_loop — the while's fixed per-iteration overhead dominates the
+    # fused step on TPU. 0 keeps the dynamic loop (full lm_max_iter budget).
+    lm_unroll: int = 8
 
 
 @dataclass(frozen=True)

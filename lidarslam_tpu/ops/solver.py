@@ -164,7 +164,7 @@ def robust_lm(blocks: Sequence[Matches], pose0, saturation, cfg: SolverConfig,
         return (it < lm_max_iter) & ~done
 
     def body(st):
-        pose, cost, H, g, lam, nsucc, it, done = st
+        pose, cost, H, g, lam, nsucc, it, done0 = st
         D = jnp.maximum(jnp.diag(H), 1e-12)
         Hd = H + lam * jnp.diag(D)
         delta = -jnp.linalg.solve(Hd, g)
@@ -173,21 +173,31 @@ def robust_lm(blocks: Sequence[Matches], pose0, saturation, cfg: SolverConfig,
         pose_new = pose + delta
         cost_new, H_new, g_new = _evaluate(blocks, pose_new, saturation, axis_name, extras)
         finite = jnp.isfinite(cost_new) & jnp.all(jnp.isfinite(delta))
-        accept = finite & (cost_new < cost)
+        # once converged (unrolled form re-enters the body) everything no-ops
+        accept = finite & (cost_new < cost) & ~done0
         small_decrease = accept & (cost - cost_new <= cfg.function_tolerance * jnp.maximum(cost, 1e-30))
         pose = jnp.where(accept, pose_new, pose)
         cost = jnp.where(accept, cost_new, cost)
         H = jnp.where(accept, H_new, H)
         g = jnp.where(accept, g_new, g)
-        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12),
-                        jnp.minimum(lam * 4.0, 1e12))
+        lam = jnp.where(done0, lam,
+                        jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12),
+                                  jnp.minimum(lam * 4.0, 1e12)))
         nsucc = nsucc + accept.astype(jnp.int32)
-        done = small_decrease | (~accept & (lam >= 1e10))
+        done = done0 | small_decrease | (~accept & ~done0 & (lam >= 1e10))
         return pose, cost, H, g, lam, nsucc, it + 1, done
 
     init = (pose0, cost0, H0, g0, jnp.asarray(cfg.initial_lm_lambda, pose0.dtype),
             jnp.ones((), jnp.int32), jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    pose, cost, H, g, lam, nsucc, it, done = jax.lax.while_loop(cond, body, init)
+    if cfg.lm_unroll > 0:
+        # statically unrolled: no while-loop per-iteration overhead (the
+        # dominant cost of the fused step on TPU); convergence gates the body
+        st = init
+        for _ in range(min(cfg.lm_unroll, lm_max_iter)):
+            st = body(st)
+        pose, cost, H, g, lam, nsucc, it, done = st
+    else:
+        pose, cost, H, g, lam, nsucc, it, done = jax.lax.while_loop(cond, body, init)
     return LMResult(pose=pose, n_success=nsucc, cost=cost, H=H)
 
 
