@@ -191,10 +191,11 @@ class SolverConfig:
     initial_lm_lambda: float = 1e-4
     two_d_mode: bool = False
     # >0: run exactly min(lm_unroll, lm_max_iter) statically-unrolled LM
-    # iterations (convergence-gated no-ops after termination) instead of a
-    # lax.while_loop — the while's fixed per-iteration overhead dominates the
-    # fused step on TPU. 0 keeps the dynamic loop (full lm_max_iter budget).
-    lm_unroll: int = 8
+    # iterations (convergence-gated no-ops) instead of a lax.while_loop.
+    # Measured slightly slower than the dynamic loop on TPU (the while's
+    # early exit skips whole evaluations; gated no-ops still pay them), so
+    # the dynamic loop is the default.
+    lm_unroll: int = 0
 
 
 @dataclass(frozen=True)
