@@ -103,6 +103,29 @@ def build_range_image(
     xyz = np.asarray(xyz, np.float32)
     n = len(xyz)
     laser_id = np.asarray(laser_id, np.int64)
+
+    # native C++ scatter when available (~10x faster host ingest; identical
+    # per-ring ordering and overflow semantics)
+    from lidarslam_tpu.io import native as native_mod
+    if native_mod.available():
+        if packed:
+            out = native_mod.build_range_image_packed_native(
+                xyz, intensity, laser_id, time, n_rings, max_ring_points,
+                XYZ_QUANT_SCALE)
+            if out is not None:
+                q, inten8, t16, valid8 = out
+                return PackedRangeImage(
+                    xyz_q=jnp.asarray(q), intensity=jnp.asarray(inten8),
+                    time=jnp.asarray(t16), valid=jnp.asarray(valid8.astype(bool)))
+        else:
+            out = native_mod.build_range_image_native(
+                xyz, intensity, laser_id, time, n_rings, max_ring_points)
+            if out is not None:
+                oxyz, ointen, otime, ovalid = out
+                return RangeImage(
+                    xyz=jnp.asarray(oxyz), intensity=jnp.asarray(ointen),
+                    time=jnp.asarray(otime), valid=jnp.asarray(ovalid.astype(bool)))
+
     keep = (laser_id >= 0) & (laser_id < n_rings)
 
     # stable order of points within each ring = input order

@@ -1,0 +1,80 @@
+"""Native C++ ingest kernel vs the numpy reference path."""
+
+import numpy as np
+import pytest
+
+from lidarslam_tpu.io import native
+from lidarslam_tpu.ops.frame import XYZ_QUANT_SCALE
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def _data(n=5000, rings=16, seed=0):
+    rng = np.random.default_rng(seed)
+    xyz = rng.uniform(-60, 60, (n, 3)).astype(np.float32)
+    inten = rng.uniform(0, 300, n).astype(np.float32)
+    lid = rng.integers(-1, rings + 2, n)  # includes out-of-range ids
+    t = rng.uniform(0, 0.1, n).astype(np.float32)
+    return xyz, inten, lid, t
+
+
+def _numpy_reference(xyz, inten, lid, t, R, C):
+    out_xyz = np.zeros((R, C, 3), np.float32)
+    out_int = np.zeros((R, C), np.float32)
+    out_time = np.zeros((R, C), np.float32)
+    out_valid = np.zeros((R, C), bool)
+    counts = np.zeros(R, np.int64)
+    for i in range(len(xyz)):
+        r = lid[i]
+        if r < 0 or r >= R:
+            continue
+        c = counts[r]
+        counts[r] += 1
+        if c >= C:
+            continue
+        out_xyz[r, c] = xyz[i]
+        out_int[r, c] = inten[i]
+        out_time[r, c] = t[i]
+        out_valid[r, c] = True
+    return out_xyz, out_int, out_time, out_valid
+
+
+def test_native_matches_reference_scatter():
+    xyz, inten, lid, t = _data()
+    R, C = 16, 256  # small C forces overflow handling
+    got = native.build_range_image_native(xyz, inten, lid, t, R, C)
+    want = _numpy_reference(xyz, inten, lid, t, R, C)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+    np.testing.assert_array_equal(got[2], want[2])
+    np.testing.assert_array_equal(got[3].astype(bool), want[3])
+
+
+def test_native_packed_quantization():
+    xyz, inten, lid, t = _data(n=2000)
+    R, C = 16, 256
+    q, i8, t16, valid = native.build_range_image_packed_native(
+        xyz, inten, lid, t, R, C, XYZ_QUANT_SCALE)
+    ref_xyz, ref_int, ref_time, ref_valid = _numpy_reference(xyz, inten, lid, t, R, C)
+    v = valid.astype(bool)
+    np.testing.assert_array_equal(v, ref_valid)
+    # dequantized coords within half an LSB
+    deq = q.astype(np.float32) * XYZ_QUANT_SCALE
+    np.testing.assert_allclose(deq[v], ref_xyz[ref_valid],
+                               atol=XYZ_QUANT_SCALE * 0.51)
+    # intensity clamped to uint8
+    np.testing.assert_array_equal(
+        i8[v], np.clip(ref_int[ref_valid], 0, 255).astype(np.uint8))
+    # f16 times match numpy's conversion
+    np.testing.assert_array_equal(t16[v], ref_time[ref_valid].astype(np.float16))
+
+
+def test_full_pipeline_uses_native():
+    from lidarslam_tpu.ops.frame import build_range_image, PackedRangeImage
+
+    xyz, inten, lid, t = _data(n=3000)
+    ri = build_range_image(xyz, inten, lid, t, 16, 256, packed=True)
+    assert isinstance(ri, PackedRangeImage)
+    assert int(np.asarray(ri.valid).sum()) > 2000
