@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Accuracy report: ATE/RPE vs simulator ground truth across scenario
+configs (the BASELINE.json config axes, run offline on synthetic golden
+sequences). Writes a markdown table to stdout.
+
+Usage: python scripts/accuracy_report.py [--frames N] [--cpu]
+"""
+
+import argparse
+import dataclasses
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platform_name", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+    from lidarslam_tpu import Slam, SlamConfig, evaluation
+    from lidarslam_tpu.config import ExtractorConfig, MapConfig, UndistortionMode
+    from lidarslam_tpu.core import se3
+    from lidarslam_tpu.io import synthetic
+
+    def cfg16(**kw):
+        return SlamConfig(
+            extractor=ExtractorConfig(n_rings=16, max_ring_points=2048,
+                                      max_keypoints=2048),
+            edge_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
+            plane_map=MapConfig(leaf_size=0.60, capacity=1 << 16),
+            blob_map=MapConfig(leaf_size=0.30, capacity=1 << 16), **kw)
+
+    def cfg64(**kw):
+        return SlamConfig(
+            extractor=ExtractorConfig(n_rings=64, max_ring_points=2048,
+                                      max_keypoints=8192),
+            edge_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
+            plane_map=MapConfig(leaf_size=0.60, capacity=1 << 16),
+            blob_map=MapConfig(leaf_size=0.30, capacity=1 << 16), **kw)
+
+    scenarios = [
+        ("VLP-16 urban 2 m/s (no distortion)", cfg16(),
+         dict(trajectory=synthetic.straight_then_turn_trajectory(2.0, 6.0, 2.0),
+              motion_distortion=False, sensor=synthetic.SensorModel())),
+        ("VLP-16 fast 4 m/s + 12 deg/s, REFINED undistortion",
+         cfg16(undistortion=UndistortionMode.REFINED),
+         dict(trajectory=synthetic.straight_then_turn_trajectory(4.0, 12.0, 0.8),
+              motion_distortion=True, sensor=synthetic.SensorModel())),
+        ("HDL-64 highway 10 m/s, REFINED undistortion",
+         cfg64(undistortion=UndistortionMode.REFINED),
+         dict(trajectory=synthetic.straight_then_turn_trajectory(10.0, 2.0, 2.5),
+              motion_distortion=True,
+              sensor=synthetic.SensorModel(n_rings=64, n_azimuth=1024,
+                                           elevation_min_deg=-24.8,
+                                           elevation_max_deg=2.0))),
+    ]
+
+    rows = []
+    for name, cfg, seqkw in scenarios:
+        frames = synthetic.generate_sequence(n_frames=args.frames, **seqkw)
+        slam = Slam(cfg)
+        est, gt = [], []
+        gt0 = frames[0]["gt_pose"]
+        failed = 0
+        for f in frames:
+            r = slam.add_frame(f)
+            failed += int(r.get("failure", False))
+            est.append(r["pose"])
+            gt.append(se3.hmat_inverse(gt0) @ f["gt_pose"])
+        ate = evaluation.absolute_trajectory_error(est, gt, align=False)
+        rpe_t, rpe_r = evaluation.relative_pose_error(est, gt)
+        dist = sum(np.linalg.norm((se3.hmat_inverse(gt[i]) @ gt[i + 1])[:3, 3])
+                   for i in range(len(gt) - 1))
+        rows.append((name, ate, rpe_t, rpe_r, dist, failed))
+        print(f"# done: {name}", file=sys.stderr)
+
+    print(f"| Scenario ({args.frames} frames) | path [m] | ATE rmse [m] | ATE max [m] "
+          "| RPE trans [m] | RPE rot [deg] | failures |")
+    print("|---|---|---|---|---|---|---|")
+    for name, ate, rpe_t, rpe_r, dist, failed in rows:
+        print(f"| {name} | {dist:.1f} | {ate.rmse:.3f} | {ate.max:.3f} "
+              f"| {rpe_t.mean:.4f} | {rpe_r.mean:.3f} | {failed} |")
+
+
+if __name__ == "__main__":
+    main()
