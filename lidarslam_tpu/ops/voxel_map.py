@@ -393,13 +393,22 @@ class SubmapView(NamedTuple):
 
 
 def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192,
-              recall_target: float = 0.99):
+              recall_target: float = 0.99, use_pallas: bool | None = None):
     """k nearest valid points per query (exact distances, per-chunk selection
     via the TPU-optimized `approx_max_k` PartialReduce at `recall_target`;
     pass 1.0 for the fully exact `top_k` path).
 
+    On a real TPU backend the fused Pallas kernel (pallas_knn.py) is used
+    instead: same contract, ~250x less HBM traffic, comparable recall.
+
     Returns (sq_dists (Q, k) ascending with +inf for missing, rows (Q, k))."""
     M = view.xyz.shape[0]
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu" and recall_target < 1.0
+                      and k <= 64 and M <= (1 << 8) * 1024)
+    if use_pallas:
+        from lidarslam_tpu.ops import pallas_knn
+        return pallas_knn.bucketed_knn(view.xyz, view.valid, queries, k)
     Q = queries.shape[0]
     qx, qy, qz = queries[:, 0:1], queries[:, 1:2], queries[:, 2:3]
     chunk = min(chunk, M)

@@ -1,0 +1,78 @@
+"""Fused Pallas k-NN vs the exact XLA brute-force path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidarslam_tpu.ops import pallas_knn
+from lidarslam_tpu.ops.voxel_map import SubmapView, brute_knn
+
+
+def _setup(m=5000, q=300, seed=0, valid_frac=0.7):
+    rng = np.random.default_rng(seed)
+    xyz = rng.uniform(-50, 50, (m, 3)).astype(np.float32)
+    valid = rng.uniform(size=m) < valid_frac
+    queries = rng.uniform(-50, 50, (q, 3)).astype(np.float32)
+    return jnp.asarray(xyz), jnp.asarray(valid), jnp.asarray(queries)
+
+
+def _exact(xyz, valid, queries, k):
+    view = SubmapView(xyz=xyz, ring=jnp.zeros(len(xyz), jnp.int32), valid=valid)
+    return brute_knn(view, queries, k, recall_target=1.0, use_pallas=False)
+
+
+def test_one_nn_is_exact():
+    # the global nearest point always survives its bucket's running min
+    xyz, valid, queries = _setup()
+    d2, idx = pallas_knn.bucketed_knn(xyz, valid, queries, 1, interpret=True)
+    ed2, eidx = _exact(xyz, valid, queries, 1)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(eidx))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(ed2), rtol=1e-5)
+
+
+def test_topk_recall_and_distance_consistency():
+    xyz, valid, queries = _setup(m=20000, q=256)
+    k = 10
+    d2, idx = pallas_knn.bucketed_knn(xyz, valid, queries, k, interpret=True)
+    ed2, eidx = _exact(xyz, valid, queries, k)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    ed2, eidx = np.asarray(ed2), np.asarray(eidx)
+    # recall vs exact neighbor sets
+    hits = sum(len(set(idx[i]) & set(eidx[i])) for i in range(len(idx)))
+    assert hits / idx.size > 0.97
+    # every returned distance is the true distance of the returned slot
+    x = np.asarray(xyz)
+    true = ((np.asarray(queries)[:, None, :] - x[idx]) ** 2).sum(-1)
+    np.testing.assert_allclose(d2, true, rtol=1e-4, atol=1e-3)
+    # returned slots are valid and ascending
+    assert np.asarray(valid)[idx].all()
+    assert (np.diff(d2, axis=1) >= -1e-3).all()
+
+
+def test_missing_neighbors_are_inf():
+    xyz, valid, queries = _setup(m=400)
+    valid = valid & (jnp.arange(400) < 3)  # only 3 valid points
+    d2, idx = pallas_knn.bucketed_knn(xyz, valid, queries, 8, interpret=True)
+    d2 = np.asarray(d2)
+    assert np.isinf(d2[:, 3:]).all()
+    assert np.isfinite(d2[:, :3]).all()
+    assert np.asarray(valid)[np.asarray(idx)[:, :3]].all()
+
+
+def test_small_and_unaligned_sizes():
+    # M < LANES and Q not a multiple of the tile
+    xyz, valid, queries = _setup(m=137, q=45)
+    d2, idx = pallas_knn.bucketed_knn(xyz, valid, queries, 5, interpret=True)
+    ed2, eidx = _exact(xyz, valid, queries, 5)
+    # with M << LANES buckets rarely collide: results should be exact
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(ed2), rtol=1e-4)
+
+
+def test_brute_knn_gate_falls_back_on_cpu():
+    # on the CPU test backend the gate must select the XLA path
+    xyz, valid, queries = _setup(m=1000, q=64)
+    view = SubmapView(xyz=xyz, ring=jnp.zeros(1000, jnp.int32), valid=valid)
+    d2, idx = brute_knn(view, queries, 4)
+    ed2, eidx = _exact(xyz, valid, queries, 4)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(ed2), rtol=1e-4)
