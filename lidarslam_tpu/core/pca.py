@@ -102,11 +102,12 @@ def eigh_3x3(A):
 
     V = jnp.stack([v_lo, v_mid, v_hi], axis=-1)
 
-    # nearly diagonal: eigenvectors are identity columns permuted by diag order
+    # nearly diagonal: eigenvectors are identity columns permuted by diag
+    # order; build the permutation matrix P[i, j] = (order[j] == i) from an
+    # iota comparison rather than a take_along_axis gather (fuses on the VPU)
     order = jnp.argsort(diag, axis=-1)
-    V_diag = jnp.eye(3, dtype=A.dtype)
-    V_diag = jnp.broadcast_to(V_diag, V.shape)
-    V_diag = jnp.take_along_axis(V_diag, order[..., None, :], axis=-1)
+    V_diag = (order[..., None, :] ==
+              jnp.arange(3, dtype=order.dtype)[:, None]).astype(A.dtype)
     V = jnp.where(is_diag[..., None, None], V_diag, V)
 
     return lam * scale[..., None], V
@@ -123,10 +124,14 @@ def _eigvec(A, lam):
     c01 = jnp.cross(r0, r1)
     c02 = jnp.cross(r0, r2)
     c12 = jnp.cross(r1, r2)
-    crosses = jnp.stack([c01, c02, c12], axis=-2)          # (..., 3, 3)
-    norms = jnp.sum(crosses * crosses, axis=-1)            # (..., 3)
-    best = jnp.argmax(norms, axis=-1)
-    v = jnp.take_along_axis(crosses, best[..., None, None], axis=-2)[..., 0, :]
+    # branch-free argmax-of-3 select: a take_along_axis gather here lowers
+    # to a ~560 us lane-padded (N, 3) gather per call on TPU (it was a top
+    # per-frame op); nested wheres fuse into the elementwise chain instead
+    n01 = jnp.sum(c01 * c01, axis=-1, keepdims=True)
+    n02 = jnp.sum(c02 * c02, axis=-1, keepdims=True)
+    n12 = jnp.sum(c12 * c12, axis=-1, keepdims=True)
+    use01 = (n01 >= n02) & (n01 >= n12)
+    v = jnp.where(use01, c01, jnp.where(n02 >= n12, c02, c12))
     n = jnp.linalg.norm(v, axis=-1, keepdims=True)
     # degenerate (repeated eigenvalue): pick any unit axis; callers gate on
     # eigenvalue ratios so this choice is not load-bearing.
@@ -136,9 +141,10 @@ def _eigvec(A, lam):
 
 def _any_orthonormal(v):
     """A unit vector orthogonal to unit vector v, branch-free."""
-    # choose the coordinate axis least aligned with v
+    # choose the coordinate axis least aligned with v (one-hot via iota
+    # comparison, not an eye[ax] gather)
     ax = jnp.argmin(jnp.abs(v), axis=-1)
-    e = jnp.eye(3, dtype=v.dtype)[ax]
+    e = (ax[..., None] == jnp.arange(3, dtype=ax.dtype)).astype(v.dtype)
     u = e - jnp.sum(e * v, axis=-1, keepdims=True) * v
     return u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), _EPS)
 

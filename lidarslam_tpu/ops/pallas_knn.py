@@ -36,9 +36,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-TQ = 128         # queries per grid step (sublane-aligned)
+TQ = 64          # queries per grid step; with TQ=128 the (TQ, RB, L)
+                 # loop temps overflow the 16 MB scoped VMEM once the
+                 # surrounding program is large (e.g. 64-beam configs)
 LANES = 1024     # bucket count = minor dim of the reshaped map
-ROW_BLOCK = 8    # map rows reduced per carry update
+ROW_BLOCK = 8    # map rows reduced per carry update (sublane-aligned:
+                 # Mosaic requires the row-slice offset to be a provable
+                 # multiple of 8)
 ROW_BITS = 8     # low mantissa bits holding the row id (=> max 256 rows)
 ROW_MASK = (1 << ROW_BITS) - 1
 BIG = jnp.float32(1e9)  # coordinate sentinel for invalid slots (d2 ~ 3e18)
