@@ -16,7 +16,7 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=40, help="timed frames")
+    ap.add_argument("--frames", type=int, default=120, help="timed frames")
     ap.add_argument("--warmup", type=int, default=6, help="warmup frames (compiles)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--rings", type=int, default=16, help="laser rings (16=VLP-16, 128=VLS-128)")
