@@ -76,3 +76,13 @@ def test_brute_knn_gate_falls_back_on_cpu():
     d2, idx = brute_knn(view, queries, 4)
     ed2, eidx = _exact(xyz, valid, queries, 4)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(ed2), rtol=1e-4)
+
+
+def test_capacity_guard():
+    # maps beyond the packed-row budget must raise (the brute_knn gate
+    # checks the same bound and falls back to the XLA path)
+    xyz = jnp.zeros(((1 << 8) * 1024 + 1, 3), jnp.float32)
+    valid = jnp.ones((xyz.shape[0],), bool)
+    q = jnp.zeros((8, 3), jnp.float32)
+    with pytest.raises(ValueError):
+        pallas_knn.bucketed_knn(xyz, valid, q, 4, interpret=True)
