@@ -6,7 +6,14 @@ steady-state frames with jax.profiler, then parses the xplane protobuf and
 prints the top ops by total device time. Use this to decide where the next
 kernel effort goes (docs/PERFORMANCE.md workflow).
 
-Usage: python scripts/profile_stream.py [--frames 12] [--rings 16]
+Usage:
+  python scripts/profile_stream.py [--frames 12] [--rings 16]
+  python scripts/profile_stream.py --xplane <saved .xplane.pb> [--frames N]
+
+Parsing notes (learned the hard way): only the "XLA Ops" line holds leaf
+ops; "Async XLA Ops" holds in-flight DMA spans (copy-start durations are
+wait times, not bandwidth) and `while`/`cond` events include their bodies,
+so both must be excluded or everything double-counts.
 """
 
 import argparse
@@ -18,6 +25,45 @@ import tempfile
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+_WRAPPERS = ("while", "cond", "copy-start", "copy-done")
+
+
+def report(xplane_path, n_frames, top):
+    import jax
+
+    pd = jax.profiler.ProfileData.from_file(xplane_path)
+    for plane in pd.planes:
+        if "TPU" not in plane.name and "Device" not in plane.name:
+            continue
+        for line in plane.lines:
+            if line.name == "XLA Modules":
+                tot = sum(ev.duration_ns / 1e6 for ev in line.events)
+                print(f"# device busy: {tot/n_frames:.2f} ms/frame "
+                      f"({tot:.0f} ms over {n_frames} frames)")
+            if line.name != "XLA Ops":
+                continue
+            dur = collections.Counter()
+            cnt = collections.Counter()
+            cat = collections.Counter()
+            meta = {}
+            for ev in line.events:
+                name = ev.name.split(" = ")[0]
+                kind = name.lstrip("%").rstrip("0123456789.").rstrip(".")
+                if kind in _WRAPPERS:
+                    continue
+                d = ev.duration_ns / 1e6
+                cat[kind] += d
+                dur[name] += d
+                cnt[name] += 1
+                meta.setdefault(name, ev.name[:110])
+            print("## op categories, ms/frame")
+            for n, ms in cat.most_common(12):
+                print(f"  {n:32s} {ms/n_frames:8.2f}")
+            print(f"## top ops  ({'op':22s} {'ms/fr':>6s} {'x/fr':>5s} {'us':>7s})")
+            for n, ms in dur.most_common(top):
+                print(f"  {n:24s} {ms/n_frames:6.3f} x{cnt[n]/n_frames:4.1f} "
+                      f"{1000*ms/cnt[n]:7.1f} | {meta[n][:70]}")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -27,9 +73,13 @@ def main():
     ap.add_argument("--azimuth", type=int, default=1800)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--xplane", help="parse an existing .xplane.pb instead of tracing")
     args = ap.parse_args()
 
     import jax
+    if args.xplane:
+        report(args.xplane, args.frames, args.top)
+        return
     if args.cpu:
         jax.config.update("jax_platform_name", "cpu")
     repo = __file__.rsplit("/", 2)[0]
@@ -69,24 +119,8 @@ def main():
     if not paths:
         print("no xplane produced", file=sys.stderr)
         return
-    pd = jax.profiler.ProfileData.from_file(paths[0])
-    per_op = collections.Counter()
-    total = 0.0
-    for plane in pd.planes:
-        if "TPU" not in plane.name and "Device" not in plane.name:
-            continue
-        for line in plane.lines:
-            if "XLA Ops" not in line.name and "ops" not in line.name.lower():
-                continue
-            for ev in line.events:
-                dur = ev.duration_ns / 1e6
-                per_op[ev.name] += dur
-                total += dur
-    print(f"# device op time over {args.frames} frames: {total:.1f} ms "
-          f"({total/args.frames:.2f} ms/frame)")
-    print(f"{'op':70s} {'ms/frame':>9s} {'%':>6s}")
-    for name, ms in per_op.most_common(args.top):
-        print(f"{name[:70]:70s} {ms/args.frames:9.3f} {100*ms/total:6.1f}")
+    print(f"# xplane: {paths[0]}")
+    report(paths[0], args.frames, args.top)
 
 
 if __name__ == "__main__":
