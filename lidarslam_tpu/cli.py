@@ -30,17 +30,26 @@ def _build_slam(args):
     if args.config:
         from lidarslam_tpu.io.yaml_config import load_config
         cfg = load_config(args.config)
+        # only override capacities the user explicitly passed — a yaml
+        # configured for a 64-beam sensor must keep its tpu.n_rings
+        ekw = {}
+        if args.rings is not None:
+            ekw["n_rings"] = args.rings
+        if args.max_ring_points is not None:
+            ekw["max_ring_points"] = args.max_ring_points
+        if args.max_keypoints is not None:
+            ekw["max_keypoints"] = args.max_keypoints
         cfg = dataclasses.replace(
             cfg, verbosity=max(cfg.verbosity, args.verbosity),
-            extractor=dataclasses.replace(cfg.extractor, n_rings=args.rings))
+            extractor=dataclasses.replace(cfg.extractor, **ekw))
     else:
         cfg = SlamConfig(
             ego_motion_mode=EgoMotionMode(args.ego_motion),
             undistortion=UndistortionMode(args.undistortion),
             use_blobs=args.use_blobs,
-            extractor=ExtractorConfig(n_rings=args.rings,
-                                      max_ring_points=args.max_ring_points,
-                                      max_keypoints=args.max_keypoints),
+            extractor=ExtractorConfig(n_rings=args.rings or 16,
+                                      max_ring_points=args.max_ring_points or 2048,
+                                      max_keypoints=args.max_keypoints or 2048),
             verbosity=args.verbosity,
         )
     return Slam(cfg)
@@ -49,7 +58,7 @@ def _build_slam(args):
 def _frames_from_args(args):
     if args.synthetic:
         from lidarslam_tpu.io import synthetic
-        sensor = synthetic.SensorModel(n_rings=args.rings)
+        sensor = synthetic.SensorModel(n_rings=args.rings or 16)
         return synthetic.generate_sequence(n_frames=args.synthetic, sensor=sensor,
                                            motion_distortion=args.undistortion > 0)
     if getattr(args, "kitti_dir", None):
@@ -145,9 +154,11 @@ def main(argv=None):
     run.add_argument("--limit", type=int, default=0, help="max frames to process")
     run.add_argument("--rate", type=float, default=10.0, help="sweeps per second")
     run.add_argument("--out", required=True)
-    run.add_argument("--rings", type=int, default=16)
-    run.add_argument("--max-ring-points", type=int, default=2048)
-    run.add_argument("--max-keypoints", type=int, default=2048)
+    run.add_argument("--rings", type=int, default=None,
+                     help="override the range-image ring count (default: from "
+                          "--config's tpu.n_rings, else 16)")
+    run.add_argument("--max-ring-points", type=int, default=None)
+    run.add_argument("--max-keypoints", type=int, default=None)
     run.add_argument("--ego-motion", type=int, default=1,
                      help="0 none, 1 extrapolation, 2 registration, 3 both")
     run.add_argument("--undistortion", type=int, default=0,

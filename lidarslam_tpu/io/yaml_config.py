@@ -50,6 +50,11 @@ def load_config(path=None, text=None, tpu_overrides=None) -> SlamConfig:
     kw = {}
     if "2d_mode" in s:
         kw["two_d_mode"] = bool(s["2d_mode"])
+        # the solver reads its own copy of the flag (LocalOptimizer.cxx:89-90
+        # holds {Z, rX, rY} constant) — forward it so a ported reference
+        # config actually freezes those DoF
+        kw["solver"] = dataclasses.replace(base.solver,
+                                           two_d_mode=bool(s["2d_mode"]))
     if "use_blobs" in s:
         kw["use_blobs"] = bool(s["use_blobs"])
     if "ego_motion" in s:

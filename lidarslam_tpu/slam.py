@@ -55,9 +55,17 @@ def _shared_resolution(cfg: SlamConfig) -> float:
 class Slam:
     """The public SLAM engine API (Slam.h:110-394 capability surface)."""
 
-    def __init__(self, config: Optional[SlamConfig] = None):
+    def __init__(self, config: Optional[SlamConfig] = None, mesh=None):
         self.cfg = config or SlamConfig()
+        if self.cfg.two_d_mode and not self.cfg.solver.two_d_mode:
+            # SlamConfig.two_d_mode is the user-facing 2D flag (Slam.h); the
+            # LM solver reads SolverConfig.two_d_mode — keep them wired
+            # (LocalOptimizer.cxx:89-90 SubsetParameterization semantics)
+            self.cfg = dataclasses.replace(
+                self.cfg, solver=dataclasses.replace(self.cfg.solver,
+                                                     two_d_mode=True))
         cfg = self.cfg
+        self.mesh = mesh  # optional jax.sharding.Mesh for multi-chip ICP
         if len(cfg.used_types) == 0:
             raise ValueError("at least one keypoint type must be enabled")
         grid_sizes = {cfg.map_config(k).grid_size for k in cfg.used_types}
@@ -313,6 +321,14 @@ class Slam:
             self.map_origin = origin_after_vox.astype(np.float64) * res_m
             self.current_keypoints = {Keypoint(i): entry["kps"][i] for i in range(3)}
             self._device_keypoints = entry["kps"]
+            # motion-limit confidence per flushed frame (Slam.cxx:1391-1484);
+            # checked against the log *before* this frame is appended, exactly
+            # as the synchronous path does in _apply_result
+            if cfg.confidence.time_window_duration > 0:
+                status = self.motion_checker.check(
+                    [(e["time"], e["pose"]) for e in self.log_trajectory],
+                    self.Tworld, entry["stamp"])
+                self.comply_motion_limits = status.comply
             self._log_state(entry["stamp"])
             self.n_frames += 1
             outs.append({"pose": self.Tworld.copy(), "covariance": self.covariance.copy(),
