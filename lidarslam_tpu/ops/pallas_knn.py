@@ -15,13 +15,21 @@ Expected recall for k=10 over L=1024 buckets is ~0.995, matching the XLA
 path's recall_target=0.99; the 1-NN is always exact.
 
 Two VMEM-bandwidth tricks keep the kernel compute-bound:
-- (distance, row) are packed into ONE uint32 per bucket — the low 8
-  mantissa bits of the non-negative f32 distance are replaced by the row
-  id (IEEE bits of non-negative floats are monotone, so `min` on the
-  packed integer is min-by-distance; the 2^-15 relative distance error
-  only affects tie-breaking, and exact distances are recomputed outside).
+- (distance, row) are packed into ONE int32 per bucket — the low
+  `row_bits` mantissa bits of the non-negative f32 distance are replaced
+  by the row id (IEEE bits of non-negative floats are monotone, so `min`
+  on the packed integer is min-by-distance; the <= 2^-12 relative distance
+  error only affects tie-breaking, and exact distances are recomputed
+  outside). `row_bits` grows with the map (8..11), so capacities up to
+  2048 rows x 1024 lanes = 2,097,152 slots (16x the default map capacity)
+  stay on the fast path.
 - ROW_BLOCK map rows are reduced per loop iteration, so the running-min
   carry is read/written once per 8 rows instead of per row.
+
+Maps larger than one VMEM-resident tile (ROW_GROUP=256 rows = 3 MB of
+coords) are streamed as a second sequential grid dimension: each row group
+is DMA'd in turn and min-merged into the same (TQ, L) output block
+(revisited-output accumulation; TPU grids execute sequentially).
 
 Replaces: nanoflann kd-tree queries (ref KDTreePCLAdaptor.h:46-114) on the
 matcher/overlap hot path (ref KeypointsMatcher.cxx:60-70,
@@ -43,22 +51,31 @@ LANES = 1024     # bucket count = minor dim of the reshaped map
 ROW_BLOCK = 8    # map rows reduced per carry update (sublane-aligned:
                  # Mosaic requires the row-slice offset to be a provable
                  # multiple of 8)
-ROW_BITS = 8     # low mantissa bits holding the row id (=> max 256 rows)
-ROW_MASK = (1 << ROW_BITS) - 1
+ROW_GROUP = 256  # map rows resident in VMEM per grid step (3 MB of coords)
+MAX_ROW_BITS = 11  # => max map capacity 2048 * LANES = 2,097,152 slots
 BIG = jnp.float32(1e9)  # coordinate sentinel for invalid slots (d2 ~ 3e18)
 
 
-def _knn_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, best_ref):
-    """One query tile vs the whole map: packed running min over map rows.
+def _knn_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, best_ref,
+                *, rg: int, row_mask: int):
+    """One query tile vs one map row group: packed running min over rows.
 
-    qx/qy/qz: (TQ, 1) query coords.  px/py/pz: (RM, L) map coords, row-major
+    qx/qy/qz: (TQ, 1) query coords.  px/py/pz: (rg, L) map coords, row-major
     reshape of the flat slot array (slot = r*L + lane).  Output (TQ, L)
-    uint32: min packed (distance-bits | row) per bucket.
+    int32: min packed (distance-bits | global row) per bucket, min-merged
+    across the row-group grid dimension.
     """
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _init():
+        best_ref[...] = jnp.full((TQ, LANES), jnp.int32(0x7FFFFFFF))
+
     qx = qx_ref[...][:, :, None]   # (TQ, 1, 1)
     qy = qy_ref[...][:, :, None]
     qz = qz_ref[...][:, :, None]
-    n_blocks = px_ref.shape[0] // ROW_BLOCK
+    n_blocks = rg // ROW_BLOCK
+    row0 = g * rg
     rb_iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, ROW_BLOCK, LANES), 1)
 
     def body(b, best):
@@ -73,10 +90,10 @@ def _knn_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, best_ref):
         # d2 >= 0, so its IEEE bits are a non-negative, order-preserving
         # int32 (Mosaic has no unsigned reductions)
         bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
-        packed = (bits & jnp.int32(~ROW_MASK)) | (rb_iota + jnp.int32(r0))
+        packed = (bits & jnp.int32(~row_mask)) | (rb_iota + jnp.int32(row0 + r0))
         return jnp.minimum(best, jnp.min(packed, axis=1))
 
-    init = jnp.full((TQ, LANES), jnp.int32(0x7FFFFFFF))
+    init = best_ref[...]
     best_ref[...] = jax.lax.fori_loop(0, n_blocks, body, init)
 
 
@@ -91,8 +108,15 @@ def bucketed_knn(xyz, valid, queries, k: int, interpret: bool = False):
     Q = queries.shape[0]
     RM = -(-max(M, 1) // LANES)
     RM = -(-RM // ROW_BLOCK) * ROW_BLOCK
-    if RM > (1 << ROW_BITS):
-        raise ValueError(f"map capacity {M} exceeds the packed-row budget")
+    if RM > (1 << MAX_ROW_BITS):
+        raise ValueError(f"map capacity {M} exceeds the packed-row budget "
+                         f"({(1 << MAX_ROW_BITS) * LANES} slots)")
+    # rows the packed id must address, and the VMEM-resident group size
+    rg = min(RM, ROW_GROUP)
+    RM = -(-RM // rg) * rg
+    n_groups = RM // rg
+    row_bits = max(8, (RM - 1).bit_length())
+    row_mask = (1 << row_bits) - 1
     Mp = RM * LANES
     Qp = -(-Q // TQ) * TQ
 
@@ -106,17 +130,17 @@ def bucketed_knn(xyz, valid, queries, k: int, interpret: bool = False):
     qx, qy, qz = (q[:, 0:1], q[:, 1:2], q[:, 2:3])
 
     best = pl.pallas_call(
-        _knn_kernel,
-        grid=(Qp // TQ,),
+        functools.partial(_knn_kernel, rg=rg, row_mask=row_mask),
+        grid=(Qp // TQ, n_groups),
         in_specs=[
-            pl.BlockSpec((TQ, 1), lambda i: (i, 0)),
-            pl.BlockSpec((TQ, 1), lambda i: (i, 0)),
-            pl.BlockSpec((TQ, 1), lambda i: (i, 0)),
-            pl.BlockSpec((RM, LANES), lambda i: (0, 0)),
-            pl.BlockSpec((RM, LANES), lambda i: (0, 0)),
-            pl.BlockSpec((RM, LANES), lambda i: (0, 0)),
+            pl.BlockSpec((TQ, 1), lambda i, g: (i, 0)),
+            pl.BlockSpec((TQ, 1), lambda i, g: (i, 0)),
+            pl.BlockSpec((TQ, 1), lambda i, g: (i, 0)),
+            pl.BlockSpec((rg, LANES), lambda i, g: (g, 0)),
+            pl.BlockSpec((rg, LANES), lambda i, g: (g, 0)),
+            pl.BlockSpec((rg, LANES), lambda i, g: (g, 0)),
         ],
-        out_specs=pl.BlockSpec((TQ, LANES), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((TQ, LANES), lambda i, g: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Qp, LANES), jnp.int32),
         interpret=interpret,
     )(qx, qy, qz, px, py, pz)
@@ -131,11 +155,11 @@ def bucketed_knn(xyz, valid, queries, k: int, interpret: bool = False):
     packed_f = jax.lax.bitcast_convert_type(best, jnp.float32)
     vals, lane = jax.lax.approx_min_k(packed_f, k, recall_target=0.99)
     bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
-    row = bits & jnp.int32(ROW_MASK)
+    row = bits & jnp.int32(row_mask)
     idx = jnp.minimum(row * LANES + lane, M - 1)
     # exact distances of the selected slots (the packed value dropped the low
     # mantissa bits); missing neighbors keep the +inf convention
-    approx_d2 = jax.lax.bitcast_convert_type(bits & jnp.int32(~ROW_MASK),
+    approx_d2 = jax.lax.bitcast_convert_type(bits & jnp.int32(~row_mask),
                                              jnp.float32)
     d2 = jnp.sum((queries[:, None, :] - xyz[idx]) ** 2, axis=-1)
     d2 = jnp.where(approx_d2 > 1e17, jnp.inf, d2)

@@ -58,21 +58,26 @@ class FrameResult(NamedTuple):
     warp: object               # final WarpParams or None
     statuses: tuple            # (Q,) uint8 per used type
     weights: tuple             # (Q,) f32 per used type
-    packed: jax.Array = None   # (58,) f32 — all host-bound scalars in one
+    packed: jax.Array = None   # (61,) f32 — all host-bound scalars in one
                                # transfer (pose, trel, counts, flags, cov,
-                               # roll); the per-frame sync fetches only this
+                               # roll, map overflow); the per-frame sync
+                               # fetches only this
+
+PACKED_LEN = 61
 
 
-def pack_scalars(pose, trel, failed, total, counts, cov, roll_offset, is_kf, overlap):
+def pack_scalars(pose, trel, failed, total, counts, cov, roll_offset, is_kf,
+                 overlap, map_overflow):
     return jnp.concatenate([
         pose, trel, counts.astype(jnp.float32),
         jnp.stack([failed.astype(jnp.float32), total.astype(jnp.float32),
                    is_kf.astype(jnp.float32), overlap]),
-        cov.ravel(), roll_offset.astype(jnp.float32)])
+        cov.ravel(), roll_offset.astype(jnp.float32),
+        map_overflow.astype(jnp.float32)])
 
 
 def unpack_scalars(packed):
-    """numpy (58,) -> dict mirroring pack_scalars."""
+    """numpy (61,) -> dict mirroring pack_scalars."""
     import numpy as np
     return {
         "pose": np.asarray(packed[0:6], np.float64),
@@ -84,6 +89,7 @@ def unpack_scalars(packed):
         "overlap": float(packed[18]),
         "cov": np.asarray(packed[19:55], np.float64).reshape(6, 6),
         "roll_offset": packed[55:58].astype(np.int64),
+        "map_overflow": packed[58:61].astype(np.int64),
     }
 
 
@@ -275,6 +281,9 @@ def process_keypoints(
                                     lambda ti=ti: update_map(ti),
                                     lambda ti=ti: maps[ti])
 
+    map_overflow = jnp.stack(
+        [new_maps[i].overflow if new_maps[i] is not None
+         else jnp.zeros((), jnp.int32) for i in range(3)])
     return FrameResult(
         maps=tuple(new_maps), keypoints=kps, pose=pose, trel=trel, failed=failed,
         total_matches=total, match_counts=counts, covariance=cov,
@@ -282,7 +291,7 @@ def process_keypoints(
         roll_offset=offset, is_keyframe=do_update, overlap=overlap, warp=warp,
         statuses=statuses, weights=wts,
         packed=pack_scalars(pose, trel, failed, total, counts, cov, offset,
-                            do_update, overlap))
+                            do_update, overlap, map_overflow))
 
 
 class StreamState(NamedTuple):
@@ -310,9 +319,9 @@ class StreamState(NamedTuple):
 def process_frame_stream(ri: RangeImage, state: StreamState, stamp, az_res,
                          cfg: SlamConfig, map_cfgs: tuple, first_frame: bool,
                          extras=()):
-    """One chained streaming step: returns (state', packed_out (61,)).
+    """One chained streaming step: returns (state', packed_out (64,)).
 
-    packed_out = FrameResult.packed (58) + origin_vox after this frame (3);
+    packed_out = FrameResult.packed (61) + origin_vox after this frame (3);
     poses in it are relative to the origin *before* this frame's roll."""
     ri = ensure_range_image(ri)
     # in-graph constant-velocity extrapolation (Slam.cxx:821-836)

@@ -54,6 +54,7 @@ class VoxelMap(NamedTuple):
     count: jax.Array      # (M,) i32 — frames-per-voxel counter
     fixed: jax.Array      # (M,) bool — immutable map points (label==1)
     valid: jax.Array      # (M,) bool
+    overflow: jax.Array   # () i32 — cumulative leaves dropped at capacity
 
     @property
     def n_points(self):
@@ -69,6 +70,7 @@ class VoxelMap(NamedTuple):
             count=jnp.zeros((m,), jnp.int32),
             fixed=jnp.zeros((m,), bool),
             valid=jnp.zeros((m,), bool),
+            overflow=jnp.zeros((), jnp.int32),
         )
 
 
@@ -197,6 +199,11 @@ def add_points(
     row2 = jnp.arange(N, dtype=jnp.int32)
     _, crow = jax.lax.sort((not_winner, row2), num_keys=1, is_stable=True)
     crow = crow[:M]
+    # winners beyond the M slots are dropped (always the largest leaf keys —
+    # one spatial edge of the window); count them so long runs can see the
+    # map silently thinning (keypoint-capacity warning analog, slam.py)
+    n_winners = jnp.sum(first, dtype=jnp.int32)
+    dropped = jnp.maximum(n_winners - M, 0)
     return VoxelMap(
         xyz=out_xyz[crow],
         intensity=sint[crow],
@@ -204,6 +211,7 @@ def add_points(
         count=out_cnt[crow],
         fixed=out_fix[crow],
         valid=first[crow],
+        overflow=vmap_.overflow + dropped,
     )
 
 
@@ -405,7 +413,7 @@ def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192,
     M = view.xyz.shape[0]
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu" and recall_target < 1.0
-                      and k <= 64 and M <= (1 << 8) * 1024)
+                      and k <= 64 and M <= (1 << 11) * 1024)
     if use_pallas:
         from lidarslam_tpu.ops import pallas_knn
         return pallas_knn.bucketed_knn(view.xyz, view.valid, queries, k)

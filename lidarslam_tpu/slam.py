@@ -127,6 +127,7 @@ class Slam:
         self.comply_motion_limits = True
         self.total_matched_keypoints = 0
         self.match_counts = np.zeros(3, np.int64)
+        self.map_overflow = np.zeros(3, np.int64)
         self.latency = 0.0
         self.azimuthal_resolution = cfg.extractor.azimuthal_resolution
         self.current_keypoints: Dict[Keypoint, Keypoints] = {}
@@ -300,8 +301,9 @@ class Slam:
         packed_all = jax.device_get([p["packed"] for p in self._stream_pending])
         outs = []
         for entry, packed in zip(self._stream_pending, packed_all):
-            u = pipeline.unpack_scalars(packed[:58])
-            origin_after_vox = packed[58:61].astype(np.int64)
+            u = pipeline.unpack_scalars(packed[:pipeline.PACKED_LEN])
+            origin_after_vox = packed[pipeline.PACKED_LEN:
+                                      pipeline.PACKED_LEN + 3].astype(np.int64)
             origin_before = (origin_after_vox - u["roll_offset"]).astype(np.float64) * res_m
             pose_world = u["pose"].copy()
             Tnew = se3.pose_to_hmat(pose_world)
@@ -319,6 +321,7 @@ class Slam:
                 self.kf_last_pose = self.Tworld.copy()
                 self._maps_populated = True
             self.map_origin = origin_after_vox.astype(np.float64) * res_m
+            self._update_map_overflow(u["map_overflow"])
             self.current_keypoints = {Keypoint(i): entry["kps"][i] for i in range(3)}
             self._device_keypoints = entry["kps"]
             # motion-limit confidence per flushed frame (Slam.cxx:1391-1484);
@@ -481,6 +484,7 @@ class Slam:
         self.total_matched_keypoints = int(total)
         self.match_counts = np.asarray(counts, np.int64)
         self.overlap = float(overlap)
+        self._update_map_overflow(u["map_overflow"])
         if self.failure:
             self._log("not enough keypoints matched; localization skipped")
 
@@ -576,9 +580,17 @@ class Slam:
 
     def run_pose_graph_optimization(self, gps_positions, gps_times,
                                     gps_covariances=None,
-                                    gps_to_sensor_offset=None) -> bool:
+                                    gps_to_sensor_offset=None,
+                                    use_device_backend=None,
+                                    n_segments: int = 0,
+                                    g2o_file_name: str = "") -> bool:
         """Optimize the whole logged trajectory against GPS priors and
-        rebuild the maps from the logged keypoints. Returns success."""
+        rebuild the maps from the logged keypoints. Returns success.
+
+        `use_device_backend` selects the batched JAX solver (default: auto,
+        device for >= 100 poses); `n_segments > 1` uses the segment-Schur
+        partitioned solve. `g2o_file_name` dumps the graph in g2o text
+        format before optimizing (PoseGraphOptimization.cxx:164-170)."""
         from lidarslam_tpu.backend import posegraph
 
         cfg = self.cfg
@@ -594,14 +606,42 @@ class Slam:
         covs = [e["covariance"] if np.trace(e["covariance"]) > 0 else np.eye(6) * 1e-4
                 for e in self.log_trajectory]
 
-        optimized, cost = posegraph.optimize_pose_graph(
-            poses, times, covs,
-            gps_positions=np.asarray(gps_positions, np.float64),
-            gps_times=np.asarray(gps_times, np.float64),
-            gps_covariances=None if gps_covariances is None
-            else np.asarray(gps_covariances, np.float64),
-            gps_to_sensor_offset=gps_to_sensor_offset,
-            verbose=cfg.verbosity >= 2)
+        if g2o_file_name:
+            gps_vertex = [int(np.argmin(np.abs(times - t))) for t in gps_times]
+            posegraph.save_g2o(
+                g2o_file_name, poses, times,
+                rel_information=[np.linalg.inv(c + np.eye(6) * 1e-8)
+                                 for c in covs[1:]],
+                gps_positions=gps_positions, gps_vertex=gps_vertex,
+                gps_information=None if gps_covariances is None
+                else [np.linalg.inv(np.asarray(c) + np.eye(3) * 1e-9)
+                      for c in gps_covariances],
+                gps_to_sensor_offset=gps_to_sensor_offset)
+            self._log(f"pose graph dumped to {g2o_file_name}")
+
+        if use_device_backend is None:
+            use_device_backend = len(poses) >= 100
+        if use_device_backend:
+            from lidarslam_tpu.backend.posegraph_device import \
+                optimize_pose_graph_device
+            optimized, cost = optimize_pose_graph_device(
+                poses, times, covs,
+                gps_positions=np.asarray(gps_positions, np.float64),
+                gps_times=np.asarray(gps_times, np.float64),
+                gps_covariances=None if gps_covariances is None
+                else np.asarray(gps_covariances, np.float64),
+                gps_to_sensor_offset=gps_to_sensor_offset,
+                n_segments=n_segments,
+                verbose=cfg.verbosity >= 2)
+        else:
+            optimized, cost = posegraph.optimize_pose_graph(
+                poses, times, covs,
+                gps_positions=np.asarray(gps_positions, np.float64),
+                gps_times=np.asarray(gps_times, np.float64),
+                gps_covariances=None if gps_covariances is None
+                else np.asarray(gps_covariances, np.float64),
+                gps_to_sensor_offset=gps_to_sensor_offset,
+                verbose=cfg.verbosity >= 2)
 
         # re-anchor the world frame at the first optimized pose (Slam.cxx:404-419)
         anchor_inv = se3.hmat_inverse(optimized[0])
@@ -836,6 +876,21 @@ class Slam:
         ext = self._extract(ri, jnp.float32(az), cfg.extractor)
         return {k: np.asarray(v) for k, v in ext.debug.items()}
 
+    def _update_map_overflow(self, overflow):
+        """Track map leaves dropped at capacity (RollingGrid has no capacity
+        to overflow; this is the TPU fixed-shape analog of the keypoint
+        capacity warning)."""
+        overflow = np.asarray(overflow, np.int64)
+        if self.cfg.verbosity >= 1 and (overflow > self.map_overflow).any():
+            from lidarslam_tpu.config import KEYPOINT_NAMES
+            for k in self.cfg.used_types:
+                d = int(overflow[int(k)] - self.map_overflow[int(k)])
+                if d > 0:
+                    self._log(f"{KEYPOINT_NAMES[k]} map dropped {d} leaves at "
+                              f"capacity {self.map_cfgs[k].capacity}; raise "
+                              "map capacity for this environment")
+        self.map_overflow = overflow
+
     def get_debug_information(self) -> dict:
         """Scalar debug metrics (Slam::GetDebugInformation, Slam.cxx:611-632)."""
         return {
@@ -846,6 +901,9 @@ class Slam:
             "overlap": self.overlap,
             "comply_motion_limits": self.comply_motion_limits,
             "failure": self.failure,
+            "map_overflow_edge": int(self.map_overflow[0]),
+            "map_overflow_plane": int(self.map_overflow[1]),
+            "map_overflow_blob": int(self.map_overflow[2]),
         }
 
     def _log(self, msg):

@@ -81,8 +81,35 @@ def test_brute_knn_gate_falls_back_on_cpu():
 def test_capacity_guard():
     # maps beyond the packed-row budget must raise (the brute_knn gate
     # checks the same bound and falls back to the XLA path)
-    xyz = jnp.zeros(((1 << 8) * 1024 + 1, 3), jnp.float32)
+    xyz = jnp.zeros(((1 << 11) * 1024 + 1, 3), jnp.float32)
     valid = jnp.ones((xyz.shape[0],), bool)
     q = jnp.zeros((8, 3), jnp.float32)
     with pytest.raises(ValueError):
         pallas_knn.bucketed_knn(xyz, valid, q, 4, interpret=True)
+
+
+def test_multi_row_group_large_map():
+    # 1<<19 slots = 512 rows = 2 sequential row groups min-merged into one
+    # output block (the round-2 capacity lift: default capacity x4 keeps the
+    # fast path). Only ~4k real points so interpret mode stays fast, placed
+    # in the LAST group's rows too so the merge across groups is exercised.
+    rng = np.random.default_rng(3)
+    M = 1 << 19
+    xyz = np.full((M, 3), 1e9, np.float32)
+    valid = np.zeros(M, bool)
+    rows = np.concatenate([rng.integers(0, M // 2, 2000),
+                           rng.integers(M // 2, M, 2000)])
+    xyz[rows] = rng.uniform(-50, 50, (len(rows), 3)).astype(np.float32)
+    valid[rows] = True
+    queries = rng.uniform(-50, 50, (64, 3)).astype(np.float32)
+
+    d2, idx = pallas_knn.bucketed_knn(jnp.asarray(xyz), jnp.asarray(valid),
+                                      jnp.asarray(queries), 8, interpret=True)
+    ed2, eidx = _exact(jnp.asarray(xyz), jnp.asarray(valid),
+                       jnp.asarray(queries), 8)
+    idx, eidx = np.asarray(idx), np.asarray(eidx)
+    hits = sum(len(set(idx[i]) & set(eidx[i])) for i in range(len(idx)))
+    assert hits / idx.size > 0.97
+    assert valid[idx].all()
+    # returned rows must span both halves of the map (both row groups)
+    assert (idx < M // 2).any() and (idx >= M // 2).any()

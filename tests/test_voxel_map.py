@@ -200,3 +200,27 @@ def test_capacity_overflow_keeps_limit():
     rng = np.random.default_rng(1)
     m = _add(m, rng.uniform(-8, 8, (500, 3)).astype(np.float32), cfg=cfg)
     assert int(m.n_points) <= 64
+
+
+def test_capacity_overflow_is_counted():
+    """Winners dropped at capacity must be accounted, and the counter must
+    accumulate across inserts (round-2 VERDICT item 6)."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, capacity=64)
+    m = VoxelMapEmpty(cfg)
+    # 100 distinct leaves (10x10 grid at leaf pitch) -> 36 winners dropped
+    g = np.arange(10, dtype=np.float32) * 0.5 - 2.5
+    gx, gy = np.meshgrid(g, g)
+    pts = np.stack([gx.ravel(), gy.ravel(), np.zeros(100, np.float32)], 1)
+    m = _add(m, pts, cfg=cfg)
+    assert int(m.n_points) == 64
+    assert int(m.overflow) == 36
+    # re-inserting the same leaves: survivors dedup, evicted leaves re-enter
+    # and overflow again
+    m = _add(m, pts, cfg=cfg)
+    assert int(m.overflow) == 72
+
+    # no overflow when under capacity
+    m2 = VoxelMapEmpty()
+    m2 = _add(m2, pts)
+    assert int(m2.overflow) == 0
