@@ -153,3 +153,54 @@ def _solve_block_tridiag(D, U, rhs):
     for i in range(N - 2, -1, -1):
         x[i] = np.linalg.solve(C[i], y[i] - U[i] @ x[i + 1])
     return x
+
+
+def save_g2o(path, poses, times=None, rel_information=None,
+             gps_positions=None, gps_vertex=None, gps_information=None,
+             gps_to_sensor_offset=None):
+    """Dump the pose graph in g2o text format (PoseGraphOptimization.cxx:
+    164-170 optional .g2o save): VERTEX_SE3:QUAT per SLAM pose, EDGE_SE3:QUAT
+    between consecutive poses, fixed VERTEX_TRACKXYZ + EDGE_SE3_TRACKXYZ per
+    GPS prior through the PARAMS_SE3OFFSET GPS<->sensor calibration."""
+    N = len(poses)
+    offset = np.eye(4) if gps_to_sensor_offset is None \
+        else np.asarray(gps_to_sensor_offset, np.float64)
+    lines = []
+    oq = se3.quat_from_matrix(offset[:3, :3])  # (w, x, y, z)
+    ot = offset[:3, 3]
+    lines.append("PARAMS_SE3OFFSET 0 "
+                 f"{ot[0]:.9f} {ot[1]:.9f} {ot[2]:.9f} "
+                 f"{oq[1]:.9f} {oq[2]:.9f} {oq[3]:.9f} {oq[0]:.9f}")
+    for i, P in enumerate(poses):
+        q = se3.quat_from_matrix(np.asarray(P)[:3, :3])
+        t = np.asarray(P)[:3, 3]
+        lines.append(f"VERTEX_SE3:QUAT {i} "
+                     f"{t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                     f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f}")
+    iu = np.triu_indices(6)
+    for i in range(N - 1):
+        Z = se3.hmat_inverse(np.asarray(poses[i])) @ np.asarray(poses[i + 1])
+        q = se3.quat_from_matrix(Z[:3, :3])
+        t = Z[:3, 3]
+        W = np.eye(6) if rel_information is None else np.asarray(rel_information[i])
+        info = " ".join(f"{v:.9f}" for v in W[iu])
+        lines.append(f"EDGE_SE3:QUAT {i} {i + 1} "
+                     f"{t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                     f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f} {info}")
+    if gps_positions is not None and gps_vertex is not None:
+        iu3 = np.triu_indices(3)
+        for g, (p, vi) in enumerate(zip(np.asarray(gps_positions), gps_vertex)):
+            pid = N + g
+            lines.append(f"VERTEX_TRACKXYZ {pid} {p[0]:.9f} {p[1]:.9f} {p[2]:.9f}")
+            lines.append(f"FIX {pid}")
+            # measurement = GPS point expressed in the (offset-corrected)
+            # sensor frame of its matched vertex
+            H = np.asarray(poses[int(vi)]) @ offset
+            local = se3.hmat_inverse(H)[:3, :3] @ (p - H[:3, 3])
+            Wg = np.eye(3) if gps_information is None else np.asarray(gps_information[g])
+            info = " ".join(f"{v:.9f}" for v in Wg[iu3])
+            lines.append(f"EDGE_SE3_TRACKXYZ {int(vi)} {pid} 0 "
+                         f"{local[0]:.9f} {local[1]:.9f} {local[2]:.9f} {info}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path

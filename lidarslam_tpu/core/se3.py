@@ -340,3 +340,123 @@ def jcompose_pose(pose_a, pose_b):
     Ra, ta = jpose_to_rt(pose_a)
     Rb, tb = jpose_to_rt(pose_b)
     return jrt_to_pose(Ra @ Rb, Ra @ tb + ta)
+
+
+# -----------------------------------------------------------------------------
+# Batched SE(3) Lie ops (device, branch-free) — the building blocks of the
+# device-side pose-graph backend (backend/posegraph.py). All functions accept
+# leading batch dimensions and follow the input dtype (run under
+# jax.experimental.enable_x64 for float64 graphs).
+# -----------------------------------------------------------------------------
+
+def jhat(w):
+    """(..., 3) -> (..., 3, 3) skew-symmetric matrices."""
+    z = _jnp.zeros_like(w[..., 0])
+    return _jnp.stack([
+        _jnp.stack([z, -w[..., 2], w[..., 1]], -1),
+        _jnp.stack([w[..., 2], z, -w[..., 0]], -1),
+        _jnp.stack([-w[..., 1], w[..., 0], z], -1)], -2)
+
+
+def jso3_log(R):
+    """(..., 3, 3) -> (..., 3) rotation vectors, branch-free.
+
+    Accurate for |theta| < pi - 1e-3 (pose-graph residuals and consecutive
+    relative motions are far inside this domain); the exact-pi axis ambiguity
+    is not handled."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    c = _jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    theta = _jnp.arccos(c)
+    v = _jnp.stack([R[..., 2, 1] - R[..., 1, 2],
+                    R[..., 0, 2] - R[..., 2, 0],
+                    R[..., 1, 0] - R[..., 0, 1]], -1)
+    s = _jnp.sin(theta)
+    small = theta < 1e-5
+    big = theta > _jnp.pi - 1e-3
+    # theta / (2 sin theta); Taylor 0.5 + theta^2/12 near 0
+    f = _jnp.where(small, 0.5 + theta * theta / 12.0,
+                   theta / _jnp.maximum(2.0 * s, 1e-20))
+    general = f[..., None] * v
+    # near pi: axis from the symmetric part's diagonal, signs from v
+    A = 0.5 * (R + _jnp.eye(3, dtype=R.dtype))
+    diag = _jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], -1)
+    axis = _jnp.sqrt(_jnp.clip(diag, 0.0, None))
+    sign = _jnp.where(v >= 0, 1.0, -1.0)
+    axis = axis * sign
+    axis = axis / _jnp.maximum(_jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-12)
+    return _jnp.where(big[..., None], theta[..., None] * axis, general)
+
+
+def jso3_exp(w):
+    """(..., 3) rotation vectors -> (..., 3, 3) matrices (Rodrigues)."""
+    theta2 = _jnp.sum(w * w, -1)
+    theta = _jnp.sqrt(_jnp.maximum(theta2, 1e-40))
+    W = jhat(w)
+    W2 = W @ W
+    small = theta2 < 1e-12
+    a = _jnp.where(small, 1.0 - theta2 / 6.0, _jnp.sin(theta) / theta)
+    b = _jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - _jnp.cos(theta)) / theta2)
+    eye = _jnp.broadcast_to(_jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + a[..., None, None] * W + b[..., None, None] * W2
+
+
+def jse3_log(H):
+    """(..., 4, 4) -> (..., 6) twists [rho, phi] (se3_log parity)."""
+    phi = jso3_log(H[..., :3, :3])
+    theta2 = _jnp.sum(phi * phi, -1)
+    theta = _jnp.sqrt(_jnp.maximum(theta2, 1e-40))
+    W = jhat(phi)
+    W2 = W @ W
+    small = theta2 < 1e-12
+    s, c = _jnp.sin(theta), _jnp.cos(theta)
+    coef = _jnp.where(small, 1.0 / 12.0,
+                      1.0 / _jnp.maximum(theta2, 1e-40)
+                      - (1.0 + c) / _jnp.maximum(2.0 * theta * s, 1e-20))
+    eye = _jnp.broadcast_to(_jnp.eye(3, dtype=H.dtype), W.shape)
+    Vinv = eye - 0.5 * W + coef[..., None, None] * W2
+    rho = _jnp.einsum("...ij,...j->...i", Vinv, H[..., :3, 3])
+    return _jnp.concatenate([rho, phi], -1)
+
+
+def jse3_exp(xi):
+    """(..., 6) twists [rho, phi] -> (..., 4, 4) isometries."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    theta2 = _jnp.sum(phi * phi, -1)
+    theta = _jnp.sqrt(_jnp.maximum(theta2, 1e-40))
+    W = jhat(phi)
+    W2 = W @ W
+    R = jso3_exp(phi)
+    small = theta2 < 1e-12
+    b = _jnp.where(small, 0.5 - theta2 / 24.0,
+                   (1.0 - _jnp.cos(theta)) / _jnp.maximum(theta2, 1e-40))
+    cc = _jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                    (theta - _jnp.sin(theta)) / _jnp.maximum(theta2 * theta, 1e-40))
+    eye = _jnp.broadcast_to(_jnp.eye(3, dtype=xi.dtype), W.shape)
+    V = eye + b[..., None, None] * W + cc[..., None, None] * W2
+    t = _jnp.einsum("...ij,...j->...i", V, rho)
+    top = _jnp.concatenate([R, t[..., None]], -1)
+    bottom = _jnp.broadcast_to(
+        _jnp.asarray([0.0, 0.0, 0.0, 1.0], xi.dtype), top[..., :1, :].shape)
+    return _jnp.concatenate([top, bottom], -2)
+
+
+def jhmat_inverse(H):
+    """(..., 4, 4) isometry inverse."""
+    R = H[..., :3, :3]
+    t = H[..., :3, 3]
+    Rt = _jnp.swapaxes(R, -1, -2)
+    ti = -_jnp.einsum("...ij,...j->...i", Rt, t)
+    top = _jnp.concatenate([Rt, ti[..., None]], -1)
+    bottom = _jnp.broadcast_to(
+        _jnp.asarray([0.0, 0.0, 0.0, 1.0], H.dtype), top[..., :1, :].shape)
+    return _jnp.concatenate([top, bottom], -2)
+
+
+def jadjoint(H):
+    """(..., 4, 4) -> (..., 6, 6) SE(3) adjoints for [rho, phi] order."""
+    R = H[..., :3, :3]
+    tW = jhat(H[..., :3, 3])
+    z = _jnp.zeros_like(R)
+    top = _jnp.concatenate([R, tW @ R], -1)
+    bot = _jnp.concatenate([z, R], -1)
+    return _jnp.concatenate([top, bot], -2)
