@@ -71,12 +71,15 @@ class LoggingStorage(enum.IntEnum):
     """Keypoint-log storage backends (PointCloudStorage.h:318-352 roles).
 
     DEVICE keeps jax array references (zero host traffic, device memory);
-    HOST pulls to numpy per frame; COMPRESSED packs coordinates to float16 +
-    uint8 intensity on the host (~3x smaller, bounded-memory long runs)."""
+    HOST pulls to numpy per frame; COMPRESSED quantizes to int16 @ 4 mm +
+    uint8 intensity (~2.4x smaller, the octree-compression analog); DISK
+    writes one binary PCD per frame under SlamConfig.logging_dir (the
+    PCDFileStorage analog). See io/storage.py."""
 
     DEVICE = 0
     HOST = 1
     COMPRESSED = 2
+    DISK = 3
 
 
 class MatchStatus(enum.IntEnum):
@@ -224,6 +227,7 @@ class SlamConfig:
     verbosity: int = 0
     logging_timeout: float = -1.0   # <0: log everything; 0: disabled; >0: [s]
     logging_storage: LoggingStorage = LoggingStorage.DEVICE
+    logging_dir: str = ""           # PCD directory for LoggingStorage.DISK
 
     # keyframes (Slam.h:535-536)
     kf_distance_threshold: float = 0.5  # [m]

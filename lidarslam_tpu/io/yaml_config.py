@@ -66,7 +66,15 @@ def load_config(path=None, text=None, tpu_overrides=None) -> SlamConfig:
     if "logging_timeout" in s:
         kw["logging_timeout"] = float(s["logging_timeout"])
     if "logging_storage" in s:
-        kw["logging_storage"] = LoggingStorage(min(int(s["logging_storage"]), 2))
+        # reference values (slam_config_outdoor.yaml logging_storage):
+        # 0 PCL in RAM -> HOST, 1 octree-compressed RAM -> COMPRESSED,
+        # 2/3/4 PCD file variants -> DISK
+        v = int(s["logging_storage"])
+        kw["logging_storage"] = (LoggingStorage.HOST, LoggingStorage.COMPRESSED,
+                                 LoggingStorage.DISK, LoggingStorage.DISK,
+                                 LoggingStorage.DISK)[min(v, 4)]
+    if "logging_dir" in s:
+        kw["logging_dir"] = str(s["logging_dir"])
 
     ego = s.get("ego_motion_registration", {})
     kw["ego_matching"] = _matching(ego, base.ego_matching, True)

@@ -544,35 +544,26 @@ class Slam:
                 if self.log_keypoints:
                     self.log_keypoints.pop(0)
         if cfg.logging_timeout != 0:
+            from lidarslam_tpu.config import KEYPOINT_NAMES
+            from lidarslam_tpu.io import storage
             self.log_keypoints.append(
-                {k: self._store_keypoints(self.current_keypoints[k])
+                {k: storage.store(self.current_keypoints[k], cfg.logging_storage,
+                                  directory=cfg.logging_dir,
+                                  tag=f"{self.n_frames:06d}_{KEYPOINT_NAMES[k]}")
                  for k in cfg.used_types})
 
-    def _store_keypoints(self, kp):
-        """Apply the configured log-storage backend (PointCloudStorage role)."""
-        from lidarslam_tpu.config import LoggingStorage
+    def get_log_memory_usage(self) -> dict:
+        """Bytes held by the keypoint log per storage tier (the verbosity-5
+        log-memory report, Slam.cxx:318-338 / PointCloudStorage MemorySize)."""
+        from lidarslam_tpu.io import storage
 
-        mode = self.cfg.logging_storage
-        if mode == LoggingStorage.DEVICE:
-            return kp
-        host = jax.tree.map(np.asarray, kp)
-        if mode == LoggingStorage.HOST:
-            return host
-        n = int(host.count)
-        return host._replace(
-            xyz=host.xyz[:n].astype(np.float16),
-            intensity=host.intensity[:n].astype(np.uint8),
-            time=host.time[:n].astype(np.float16),
-            ring=host.ring[:n].astype(np.uint8),
-            valid=host.valid[:n])
-
-    @staticmethod
-    def _restore_keypoints(kp):
-        """Undo log storage (lazy pull for PGO replay)."""
-        kp = jax.tree.map(np.asarray, kp)
-        return kp._replace(xyz=kp.xyz.astype(np.float32),
-                           intensity=kp.intensity.astype(np.float32),
-                           time=kp.time.astype(np.float32))
+        total = {"ram": 0, "disk": 0, "device": 0}
+        for entry in self.log_keypoints:
+            for obj in entry.values():
+                for tier, b in storage.memory_size(obj).items():
+                    total[tier] += b
+        total["n_frames"] = len(self.log_keypoints)
+        return total
 
     # ------------------------------------------------------------------
     # Pose-graph optimization (Slam::RunPoseGraphOptimization, 355-487)
@@ -654,20 +645,21 @@ class Slam:
         self.map_origin = np.zeros(3)
         world_clouds = {k: [] for k in cfg.used_types}
         last_bbox = None
+        from lidarslam_tpu.io import storage as storage_mod
         for i, (entry, kps) in enumerate(zip(self.log_trajectory, self.log_keypoints)):
             H = entry["pose"]
             for k in cfg.used_types:
-                kp = self._restore_keypoints(kps[k])
-                n = int(kp.count)
+                kp = storage_mod.restore(kps[k])
+                n = len(kp.xyz)
                 if n == 0:
                     continue
-                pts = kp.xyz[:n].astype(np.float64)
+                pts = kp.xyz.astype(np.float64)
                 if cfg.undistortion != 0 and i >= 1:
-                    pts = self._replay_undistort(pts, kp.time[:n],
+                    pts = self._replay_undistort(pts, kp.time,
                                                  self.log_trajectory[i - 1], entry)
                 else:
                     pts = pts @ H[:3, :3].T + H[:3, 3]
-                world_clouds[k].append((pts.astype(np.float32), kp.intensity[:n]))
+                world_clouds[k].append((pts.astype(np.float32), kp.intensity))
                 if i == len(self.log_trajectory) - 1:
                     bb = (pts.min(axis=0), pts.max(axis=0))
                     last_bbox = (np.minimum(last_bbox[0], bb[0]),
@@ -680,8 +672,8 @@ class Slam:
             all_pts = np.concatenate([c[0] for c in world_clouds[k]])
             all_int = np.concatenate([c[1] for c in world_clouds[k]])
             cap = mc.capacity
-            for start in range(0, len(all_pts), cap // 2):
-                chunk = slice(start, start + cap // 2)
+            for start in range(0, len(all_pts), cap):
+                chunk = slice(start, start + cap)
                 pts = all_pts[chunk]
                 self.maps[k] = voxel_map.add_points(
                     self.maps[k], jnp.asarray(pts), jnp.asarray(all_int[chunk]),
@@ -822,6 +814,62 @@ class Slam:
                 mc, fixed=fixed)
             if len(pts):
                 self._maps_populated = True
+
+    # ------------------------------------------------------------------
+    # Full-state checkpoint / resume (beyond the reference's PCD-only
+    # Save/LoadMapsToPCD: one snapshot of maps + trajectory + pose state,
+    # the multi-hour-run restart story of SURVEY.md §5)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path: str):
+        """Snapshot maps, rolling origin, pose state and the trajectory log
+        into one .npz. Keypoint logs are not included (use logging_storage
+        DISK for bounded-memory replay logs)."""
+        arrs = {
+            "map_origin": self.map_origin, "Tworld": self.Tworld,
+            "PreviousTworld": self.PreviousTworld, "Trelative": self.Trelative,
+            "kf_last_pose": self.kf_last_pose,
+            "kf_counter": np.int64(self.kf_counter),
+            "covariance": self.covariance,
+            "n_frames": np.int64(self.n_frames),
+            "azimuthal_resolution": np.float64(self.azimuthal_resolution),
+            "maps_populated": np.bool_(self._maps_populated),
+            "traj_times": np.array([e["time"] for e in self.log_trajectory]),
+            "traj_poses": np.stack([e["pose"] for e in self.log_trajectory])
+            if self.log_trajectory else np.zeros((0, 4, 4)),
+            "traj_covs": np.stack([e["covariance"] for e in self.log_trajectory])
+            if self.log_trajectory else np.zeros((0, 6, 6)),
+        }
+        for k in self.cfg.used_types:
+            m = jax.tree.map(np.asarray, self.maps[k])
+            for field, v in zip(m._fields, m):
+                arrs[f"map{int(k)}_{field}"] = v
+        np.savez_compressed(path, **arrs)
+
+    def load_checkpoint(self, path: str):
+        """Restore a save_checkpoint snapshot (config must match the saved
+        map capacities)."""
+        z = np.load(path)
+        self.reset()
+        self.map_origin = z["map_origin"]
+        self.Tworld = z["Tworld"]
+        self.PreviousTworld = z["PreviousTworld"]
+        self.Trelative = z["Trelative"]
+        self.kf_last_pose = z["kf_last_pose"]
+        self.kf_counter = int(z["kf_counter"])
+        self.covariance = z["covariance"]
+        self.n_frames = int(z["n_frames"])
+        self.azimuthal_resolution = float(z["azimuthal_resolution"])
+        self._maps_populated = bool(z["maps_populated"])
+        self.log_trajectory = [
+            {"time": float(t), "pose": p, "covariance": c}
+            for t, p, c in zip(z["traj_times"], z["traj_poses"], z["traj_covs"])]
+        for k in self.cfg.used_types:
+            fields = {f: jnp.asarray(z[f"map{int(k)}_{f}"])
+                      for f in voxel_map.VoxelMap._fields}
+            if fields["xyz"].shape[0] != self.map_cfgs[k].capacity:
+                raise ValueError("checkpoint map capacity mismatch")
+            self.maps[k] = voxel_map.VoxelMap(**fields)
 
     def start_profiling(self, log_dir: str):
         """Start a jax.profiler trace of the device pipeline (the TPU-side

@@ -40,20 +40,72 @@ def test_localization_only_on_frozen_map(tmp_path):
     assert len(loc.get_map_points(Keypoint.PLANE)[0]) == n0
 
 
-@pytest.mark.parametrize("mode", [LoggingStorage.HOST, LoggingStorage.COMPRESSED])
-def test_logging_storage_backends(mode):
+@pytest.mark.parametrize("mode", [LoggingStorage.HOST, LoggingStorage.COMPRESSED,
+                                  LoggingStorage.DISK])
+def test_logging_storage_backends(mode, tmp_path):
+    from lidarslam_tpu.io import storage
+
     frames = synthetic.generate_sequence(n_frames=5, motion_distortion=False)
-    slam = Slam(_cfg(logging_storage=mode))
+    slam = Slam(_cfg(logging_storage=mode, logging_dir=str(tmp_path / "log")))
     for f in frames:
         slam.add_frame(f)
     assert len(slam.log_keypoints) == 5
     kp = slam.log_keypoints[-1][Keypoint.PLANE]
+    mem = slam.get_log_memory_usage()
     if mode == LoggingStorage.COMPRESSED:
-        assert kp.xyz.dtype == np.float16
-    # PGO replay works from either backend
+        assert isinstance(kp, storage.CompressedCloud)
+        assert kp.qxyz.dtype == np.int16
+        # quantized restore stays within the 2 mm bound
+        host = storage.restore(kp)
+        raw = np.asarray(slam.current_keypoints[Keypoint.PLANE].xyz)[:len(host.xyz)]
+        assert np.abs(host.xyz - raw).max() < storage.QUANT
+        assert mem["ram"] > 0 and mem["disk"] == 0
+    elif mode == LoggingStorage.DISK:
+        assert isinstance(kp, storage.DiskCloud)
+        import os
+        assert os.path.exists(kp.path)
+        assert mem["disk"] > 0
+        # RAM held is just the path strings
+        assert mem["ram"] < 10_000
+    else:
+        assert mem["ram"] > 0
+    # PGO replay works from every backend
     from lidarslam_tpu.core import se3
     gt0 = frames[0]["gt_pose"]
     gps = np.stack([(se3.hmat_inverse(gt0) @ f["gt_pose"])[:3, 3] for f in frames])
     ok = slam.run_pose_graph_optimization(gps, [f["stamp"] for f in frames])
     assert ok
     assert len(slam.get_map_points(Keypoint.PLANE)[0]) > 100
+
+
+def test_compressed_is_smaller_than_host():
+    frames = synthetic.generate_sequence(n_frames=3, motion_distortion=False)
+    sizes = {}
+    for mode in (LoggingStorage.HOST, LoggingStorage.COMPRESSED):
+        slam = Slam(_cfg(logging_storage=mode))
+        for f in frames:
+            slam.add_frame(f)
+        sizes[mode] = slam.get_log_memory_usage()["ram"]
+    assert sizes[LoggingStorage.COMPRESSED] < sizes[LoggingStorage.HOST] / 2.2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint/load_checkpoint resume mid-sequence with identical
+    downstream results."""
+    frames = synthetic.generate_sequence(n_frames=8, motion_distortion=False)
+    a = Slam(_cfg())
+    for f in frames[:5]:
+        a.add_frame(f)
+    ckpt = str(tmp_path / "state.npz")
+    a.save_checkpoint(ckpt)
+    for f in frames[5:]:
+        ra = a.add_frame(f)
+
+    b = Slam(_cfg())
+    b.load_checkpoint(ckpt)
+    assert b.n_frames == 5
+    np.testing.assert_allclose(b.get_world_transform(),
+                               a.log_trajectory[4]["pose"], atol=1e-12)
+    for f in frames[5:]:
+        rb = b.add_frame(f)
+    np.testing.assert_allclose(rb["pose"], ra["pose"], atol=5e-3)
