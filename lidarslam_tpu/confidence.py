@@ -19,18 +19,25 @@ from lidarslam_tpu.ops.voxel_map import SubmapView, brute_knn
 
 
 def lcp_overlap(sample_xyz, sample_valid, indices: Sequence[SubmapView],
-                leaf_sizes: Sequence[float]) -> jnp.ndarray:
+                leaf_sizes: Sequence[float], axis_name=None) -> jnp.ndarray:
     """Mean best per-map Gaussian probability of having a close map neighbor.
 
     Args:
       sample_xyz: (S, 3) sampled registered points, map-origin-relative.
       indices/leaf_sizes/geoms: one entry per map to test against.
+      axis_name: set when `indices` are this device's slabs of mesh-sharded
+        maps — the per-sample nearest distance then min-reduces over ICI.
     Returns scalar overlap in [0, 1] (−1 when nothing to compare)."""
+    import jax
+
     best = jnp.zeros(sample_xyz.shape[0])
     for index, leaf in zip(indices, leaf_sizes):
         d2, _ = brute_knn(index, sample_xyz, 1)
+        d2 = d2[:, 0]
+        if axis_name is not None:
+            d2 = jax.lax.pmin(d2, axis_name)
         sigma2 = (leaf / 3.0) ** 2
-        proba = jnp.where(jnp.isfinite(d2[:, 0]), jnp.exp(-d2[:, 0] / (2.0 * sigma2)), 0.0)
+        proba = jnp.where(jnp.isfinite(d2), jnp.exp(-d2 / (2.0 * sigma2)), 0.0)
         best = jnp.maximum(best, proba)
     n = jnp.maximum(jnp.sum(sample_valid), 1)
     return jnp.sum(jnp.where(sample_valid, best, 0.0)) / n

@@ -63,18 +63,37 @@ def _finish(A, P, X, weight, ok, status):
 
 
 def _knn(index: SubmapView, world, k, params: MatchingConfig, geom=None):
-    # exact brute-force scan (see SubmapView); `geom` retained for API shape
+    """Neighbor search. Returns (d2 (Q,k), nbr (Q,k,3), rings (Q,k), found).
+
+    `geom` is the static per-call index geometry: None for a plain local
+    SubmapView scan; ("map_shard", axis_name) when `index` is this device's
+    slab of a mesh-sharded map (parallel/sharded_map.py) — queries
+    all_gather, each device scans its 1/n slab, the per-slab top-k merge
+    over ICI, and this device keeps its own query rows again."""
+    if isinstance(geom, tuple) and len(geom) == 2 and geom[0] == "map_shard":
+        from lidarslam_tpu.parallel import sharded_map
+
+        axis = geom[1]
+        q = world.shape[0]
+        q_full = jax.lax.all_gather(world, axis, tiled=True)
+        d2f, nbrf, ringf = sharded_map.shard_knn(index, q_full, k, axis)
+        start = jax.lax.axis_index(axis) * q
+        d2 = jax.lax.dynamic_slice_in_dim(d2f, start, q, 0)
+        nbr = jax.lax.dynamic_slice_in_dim(nbrf, start, q, 0)
+        rings = jax.lax.dynamic_slice_in_dim(ringf, start, q, 0)
+        return d2, nbr, rings, jnp.isfinite(d2)
+    # exact brute-force scan (see SubmapView)
     d2, idx = brute_knn(index, world, k)
     nbr = index.xyz[idx]                       # (Q, k, 3) — post-top-k, small
     found = jnp.isfinite(d2)
-    return d2, idx, nbr, found
+    return d2, nbr, index.ring[idx], found
 
 
 def match_planes(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfig, geom):
     """Point-to-plane matches (BuildPlaneMatch semantics)."""
     k = params.plane_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
-    d2, _, nbr, found = _knn(index, world, k, params, geom)
+    d2, nbr, _, found = _knn(index, world, k, params, geom)
 
     n_found = jnp.sum(found, axis=1)
     enough = kp_valid & (n_found >= k)
@@ -103,10 +122,10 @@ def match_edges(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfi
     """Point-to-line matches; neighbor filter per params.single_edge_per_ring."""
     k = params.edge_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
-    d2, idx, nbr, found = _knn(index, world, k, params, geom)
+    d2, nbr, rings, found = _knn(index, world, k, params, geom)
 
     if params.single_edge_per_ring:
-        sel = _per_ring_filter(index.ring[idx], found)
+        sel = _per_ring_filter(rings, found)
     else:
         sel = _ransac_line_filter(nbr, found, params.edge_max_model_error)
 
@@ -134,7 +153,7 @@ def match_blobs(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfi
     """Point-to-ellipsoid matches (BuildBlobMatch semantics)."""
     k = params.blob_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
-    d2, _, nbr, found = _knn(index, world, k, params, geom)
+    d2, nbr, _, found = _knn(index, world, k, params, geom)
 
     n_found = jnp.sum(found, axis=1)
     enough = kp_valid & (n_found >= k)

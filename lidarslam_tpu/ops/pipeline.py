@@ -93,6 +93,15 @@ def unpack_scalars(packed):
     }
 
 
+def _shard_slice(arr, axis_name, n_shards):
+    """This device's contiguous chunk of a keypoint-capacity array."""
+    if arr is None:
+        return None
+    chunk = arr.shape[0] // n_shards
+    start = jax.lax.axis_index(axis_name) * chunk
+    return jax.lax.dynamic_slice_in_dim(arr, start, chunk, axis=0)
+
+
 def process_frame(
     ri: RangeImage,
     maps: tuple,               # VoxelMap per type (None when unused) — donated
@@ -101,13 +110,23 @@ def process_frame(
     cfg: SlamConfig,
     map_cfgs: tuple,           # MapConfig per type (window-resolution snapped)
     first_frame: bool,
+    axis_name=None,
+    n_shards: int = 1,
+    shard_maps: bool = False,
 ) -> FrameResult:
-    """Full per-sweep step. `cfg`, `map_cfgs`, `first_frame` are static."""
+    """Full per-sweep step. `cfg`, `map_cfgs`, `first_frame` are static.
+
+    With `axis_name`/`n_shards` (inside `shard_map` over an SPMD mesh axis),
+    the matcher+solver — the per-frame hot path — runs on this device's
+    keypoint shard only and the 6x6 normal equations are psum-reduced over
+    ICI each LM evaluation, so every chip steps an identical pose
+    (parallel/sharded.py)."""
     ri = ensure_range_image(ri)
     ext = extractor.extract_keypoints(ri, inp.az_resolution, cfg.extractor)
     kps = (ext.edges, ext.planes, ext.blobs)
     return process_keypoints(kps, ri, maps, prev_keypoints, inp, cfg, map_cfgs,
-                             first_frame)
+                             first_frame, axis_name=axis_name, n_shards=n_shards,
+                             shard_maps=shard_maps)
 
 
 def process_keypoints(
@@ -119,13 +138,37 @@ def process_keypoints(
     cfg: SlamConfig,
     map_cfgs: tuple,
     first_frame: bool,
+    axis_name=None,
+    n_shards: int = 1,
+    shard_maps: bool = False,
 ) -> FrameResult:
     """Per-sweep step starting from already-extracted keypoints. Used
     directly for multi-LiDAR rigs where each device's sweep is extracted
     with its own extractor and the keypoint sets are merged in BASE frame
-    (Slam::ExtractKeypoints + AggregateFrames semantics)."""
+    (Slam::ExtractKeypoints + AggregateFrames semantics).
+
+    Sharded mode (`axis_name` set): extraction / map bookkeeping are
+    replicated (cheap, zero-communication), the matcher+solver run on this
+    device's 1/n keypoint slice, counts + normal equations psum-reduce, and
+    the per-keypoint debug outputs all_gather back so the result is fully
+    replicated — bitwise-stable pose stepping on every chip.
+
+    With `shard_maps` additionally set, `maps` are this device's slabs of
+    mesh-sharded rolling maps (parallel/sharded_map.py): the matcher k-NN
+    becomes a scan of the local slab + a top-k merge over ICI, inserts mask
+    to the local slab, and rolls migrate boundary-crossers over ppermute —
+    map memory and the map-side hot loops both scale 1/n."""
     types = cfg.used_types
-    geoms = (None, None, None)  # brute-force k-NN needs no index geometry
+    if shard_maps and axis_name is None:
+        raise ValueError("shard_maps requires axis_name (run under shard_map)")
+    # static per-call index geometry for the matcher's k-NN (ops/matcher._knn)
+    geoms = (("map_shard", axis_name),) * 3 if shard_maps else (None, None, None)
+    if axis_name is not None:
+        for t in types:
+            if kps[int(t)].xyz.shape[0] % n_shards:
+                raise ValueError(
+                    f"extractor.max_keypoints ({kps[int(t)].xyz.shape[0]}) must "
+                    f"be divisible by the mesh size ({n_shards})")
 
     # ---------------- ego-motion registration (optional) ----------------
     trel = inp.trel_prior
@@ -142,6 +185,9 @@ def process_keypoints(
             pk = prev_keypoints[ti]
             e_xyz[ti] = kps[ti].xyz
             e_val[ti] = kps[ti].valid
+            if axis_name is not None:
+                e_xyz[ti] = _shard_slice(e_xyz[ti], axis_name, n_shards)
+                e_val[ti] = _shard_slice(e_val[ti], axis_name, n_shards)
             e_idx[ti] = voxel_map.SubmapView(xyz=pk.xyz, ring=pk.ring,
                                              valid=pk.valid)
         ego = icp.icp_register(
@@ -150,7 +196,9 @@ def process_keypoints(
             types=ego_types, pose0=trel, params=cfg.ego_matching,
             solver_cfg=cfg.solver, icp_iters=cfg.ego_motion_icp_max_iter,
             lm_max_iter=cfg.ego_motion_lm_max_iter,
-            min_matches=cfg.min_nb_matched_keypoints, geoms=geoms)
+            min_matches=cfg.min_nb_matched_keypoints,
+            geoms=(None, None, None),  # scan-to-scan: prev kps are replicated
+            axis_name=axis_name)
         trel = jnp.where(ego.failed, trel, ego.pose)
 
     loc_prior = se3.jcompose_pose(inp.prev_pose, trel)
@@ -184,12 +232,17 @@ def process_keypoints(
             kp_xyz[ti] = kp.xyz
             kp_valid[ti] = kp.valid
             kp_time[ti] = kp.time
+            if axis_name is not None:
+                kp_xyz[ti] = _shard_slice(kp.xyz, axis_name, n_shards)
+                kp_valid[ti] = _shard_slice(kp.valid, axis_name, n_shards)
+                kp_time[ti] = _shard_slice(kp.time, axis_name, n_shards)
             world = se3.japply_pose(loc_prior, kp.xyz)
             big = jnp.float32(3e38)
             bbox_min = jnp.min(jnp.where(kp.valid[:, None], world, big), axis=0)
             bbox_max = jnp.max(jnp.where(kp.valid[:, None], world, -big), axis=0)
             index[ti] = voxel_map.extract_submap_view(
-                m, bbox_min, bbox_max, (kp.count // 2).astype(jnp.int32), mc)
+                m, bbox_min, bbox_max, (kp.count // 2).astype(jnp.int32), mc,
+                axis_name=axis_name if shard_maps else None)
         indices = index
 
         undist_kwargs = {}
@@ -212,7 +265,7 @@ def process_keypoints(
             solver_cfg=cfg.solver, icp_iters=cfg.localization_icp_max_iter,
             lm_max_iter=cfg.localization_lm_max_iter,
             min_matches=cfg.min_nb_matched_keypoints, geoms=geoms,
-            extras=inp.extras, **undist_kwargs)
+            extras=inp.extras, axis_name=axis_name, **undist_kwargs)
 
         failed = res.failed
         pose = jnp.where(failed, inp.prev_pose, res.pose)  # rollback (Slam.cxx:1098-1107)
@@ -225,13 +278,21 @@ def process_keypoints(
         warp = res.warp
         statuses = res.statuses
         wts = res.weights
+        if axis_name is not None:
+            # reassemble the per-keypoint debug surface so every output of
+            # the sharded step is replicated (out_specs stay uniform)
+            statuses = tuple(jax.lax.all_gather(s, axis_name, tiled=True)
+                             for s in statuses)
+            wts = tuple(jax.lax.all_gather(w, axis_name, tiled=True)
+                        for w in wts)
         trel = jnp.where(failed, jnp.zeros(6),
                          _relative_pose(inp.prev_pose, pose))
 
     # ---------------- overlap (optional, static) ----------------
     overlap = jnp.full((), -1.0)
     if cfg.confidence.overlap_sampling_ratio > 0 and not first_frame and ri is not None:
-        overlap = _overlap(ri, pose, indices, cfg, map_cfgs, warp)
+        overlap = _overlap(ri, pose, indices, cfg, map_cfgs, warp,
+                           axis_name=axis_name if shard_maps else None)
 
     # ---------------- keyframe gate + map update ----------------
     kf_motion = _relative_pose(inp.kf_last_pose, pose)
@@ -240,6 +301,8 @@ def process_keypoints(
     rot = jnp.arccos(jnp.clip((jnp.trace(R_m) - 1.0) / 2.0, -1.0, 1.0))
     coef = jnp.minimum(inp.kf_counter.astype(jnp.float32) / 10.0, 1.0)
     n_map_pts = sum(maps[int(t)].n_points for t in types)
+    if shard_maps:
+        n_map_pts = jax.lax.psum(n_map_pts, axis_name)
     is_kf = ((n_map_pts < cfg.min_nb_matched_keypoints * 10)
              | (trans >= coef * cfg.kf_distance_threshold)
              | (rot >= jnp.deg2rad(coef * cfg.kf_angle_threshold)))
@@ -268,9 +331,27 @@ def process_keypoints(
     offset = jnp.where(do_update, offset, jnp.zeros(3, jnp.int32))
 
     def update_map(ti):
-        m = voxel_map.roll_by_offset(maps[ti], offset, map_cfgs[ti])
         kp = kps[ti]
         shifted = world_kp[ti] - offset.astype(jnp.float32) * res_m
+        if shard_maps:
+            from lidarslam_tpu.parallel import sharded_map
+
+            # keep map.overflow as the replicated global total: accumulate
+            # the per-shard deltas of this frame's roll+insert via psum
+            m = maps[ti]
+            prior = m.overflow
+            m = m._replace(overflow=jnp.zeros((), jnp.int32))
+            # max_hops=2: one frame's roll is <= 2 voxels in practice, and a
+            # voxel spans res/leaf leaves vs a slab's n_leaf/n — 2 hops cover
+            # every non-teleport motion (leftovers land in overflow, visible)
+            m = sharded_map.shard_roll(m, offset, map_cfgs[ti], axis_name,
+                                       n_shards, max_hops=2)
+            m = sharded_map.shard_add_points(m, shifted, kp.intensity, kp.time,
+                                             kp.valid, inp.stamp, map_cfgs[ti],
+                                             False, axis_name, n_shards)
+            return m._replace(
+                overflow=prior + jax.lax.psum(m.overflow, axis_name))
+        m = voxel_map.roll_by_offset(maps[ti], offset, map_cfgs[ti])
         return voxel_map.add_points(m, shifted, kp.intensity, kp.time, kp.valid,
                                     inp.stamp, map_cfgs[ti], fixed=False)
 
@@ -318,7 +399,8 @@ class StreamState(NamedTuple):
 
 def process_frame_stream(ri: RangeImage, state: StreamState, stamp, az_res,
                          cfg: SlamConfig, map_cfgs: tuple, first_frame: bool,
-                         extras=()):
+                         extras=(), axis_name=None, n_shards: int = 1,
+                         shard_maps: bool = False):
     """One chained streaming step: returns (state', packed_out (64,)).
 
     packed_out = FrameResult.packed (61) + origin_vox after this frame (3);
@@ -340,7 +422,8 @@ def process_frame_stream(ri: RangeImage, state: StreamState, stamp, az_res,
         stamp=stamp, az_resolution=az_res, kf_last_pose=state.kf_pose,
         kf_counter=state.kf_counter, extras=extras)
     res = process_keypoints(kps, ri, state.maps, state.prev_keypoints, inp,
-                            cfg, map_cfgs, first_frame)
+                            cfg, map_cfgs, first_frame, axis_name=axis_name,
+                            n_shards=n_shards, shard_maps=shard_maps)
 
     shared_cfg = map_cfgs[int(cfg.used_types[0])]
     shift = res.roll_offset.astype(jnp.float32) * voxel_map.effective_resolution(shared_cfg)
@@ -391,7 +474,8 @@ def _set(tup, i, v):
     return tuple(out)
 
 
-def _overlap(ri: RangeImage, pose, indices, cfg: SlamConfig, map_cfgs, warp):
+def _overlap(ri: RangeImage, pose, indices, cfg: SlamConfig, map_cfgs, warp,
+             axis_name=None):
     """LCP overlap of a strided sample of the registered sweep."""
     flat = ri.xyz.reshape(-1, 3)
     valid = ri.valid.ravel()
@@ -409,4 +493,4 @@ def _overlap(ri: RangeImage, pose, indices, cfg: SlamConfig, map_cfgs, warp):
     return confidence_mod.lcp_overlap(
         world, svalid,
         [indices[int(t)] for t in types],
-        [map_cfgs[int(t)].leaf_size for t in types])
+        [map_cfgs[int(t)].leaf_size for t in types], axis_name=axis_name)

@@ -451,12 +451,14 @@ def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192,
     return best_d, best_i
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "axis_name"))
 def extract_submap_view(vmap_: VoxelMap, bbox_min, bbox_max, min_nb_points,
-                        cfg: MapConfig) -> SubmapView:
+                        cfg: MapConfig, axis_name=None) -> SubmapView:
     """Submap selection (bbox + moving-object filter with fallback,
     BuildSubMapKdTree 362-442 semantics) as a masked view — no sort, no
-    index build."""
+    index build. With `axis_name` (map sharded over a mesh axis), the
+    fallback decision counts clean points across every shard so all devices
+    agree with the single-device semantics."""
     res = effective_resolution(cfg)
     half = half_extent(cfg)
     lo = jnp.maximum(jnp.floor((bbox_min + half) / res), 0.0)
@@ -467,7 +469,10 @@ def extract_submap_view(vmap_: VoxelMap, bbox_min, bbox_max, min_nb_points,
     if cfg.min_frames_per_voxel > 1:
         still = vmap_.count >= cfg.min_frames_per_voxel
         clean = in_bbox & (still | vmap_.fixed)
-        use_all = (min_nb_points < 0) | (jnp.sum(clean) < min_nb_points)
+        n_clean = jnp.sum(clean)
+        if axis_name is not None:
+            n_clean = jax.lax.psum(n_clean, axis_name)
+        use_all = (min_nb_points < 0) | (n_clean < min_nb_points)
         selected = jnp.where(use_all, in_bbox, clean)
     else:
         selected = in_bbox

@@ -22,13 +22,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from lidarslam_tpu.config import Keypoint, MatchingConfig, SolverConfig
-from lidarslam_tpu.ops import icp
+from lidarslam_tpu.ops import icp, pipeline
 
 AXIS = "kp"
 
 
 def make_mesh(n_devices=None) -> Mesh:
     devices = jax.devices()[: n_devices or len(jax.devices())]
+    if n_devices is not None and len(devices) < n_devices:
+        raise RuntimeError(
+            f"requested a {n_devices}-device mesh but only {len(devices)} "
+            "devices are visible (set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N for CPU tests)")
     return Mesh(np.asarray(devices), (AXIS,))
 
 
@@ -72,3 +77,93 @@ def sharded_icp_register(
                         in_specs=(kp_spec, P()), out_specs=out_spec,
                         check_vma=False)
     return jax.jit(sharded)(inputs, pose0)
+
+
+# ----------------------------------------------------------------------
+# Whole-pipeline SPMD: the REAL per-frame step under shard_map.
+#
+# Inputs arrive replicated (the host uploads one sweep); extraction and the
+# rolling-map update are replicated per chip (cheap, and keeping the map
+# replicated means the matcher needs zero gathers), while the dominant
+# matcher+solver stage runs on each chip's 1/n keypoint slice with the
+# normal equations psum-reduced over ICI (ops/pipeline.process_keypoints
+# sharded mode). All outputs are replicated, so the host-side Slam logic is
+# unchanged — multi-chip is a constructor flag (Slam(cfg, mesh=...)), the
+# TPU-native replacement for the reference's single NbThreads knob
+# (Slam.h:402-403).
+# ----------------------------------------------------------------------
+
+
+def _maps_spec(cfg, shard_maps: bool):
+    """Per-type spec of the maps tuple: sharded slot arrays (map_spec) when
+    the maps shard over the mesh, replicated otherwise."""
+    if not shard_maps:
+        return P()
+    from lidarslam_tpu.parallel import sharded_map
+
+    return tuple(sharded_map.map_spec() if cfg.use_keypoints(Keypoint(i))
+                 else P() for i in range(3))
+
+
+def _result_spec(cfg, shard_maps: bool):
+    if not shard_maps:
+        return P()
+    return pipeline.FrameResult(
+        maps=_maps_spec(cfg, True), keypoints=P(), pose=P(), trel=P(),
+        failed=P(), total_matches=P(), match_counts=P(), covariance=P(),
+        position_error=P(), orientation_error=P(), roll_offset=P(),
+        is_keyframe=P(), overlap=P(), warp=P(), statuses=P(), weights=P(),
+        packed=P())
+
+
+def process_frame_spmd(ri, maps, prev_kp, inp, cfg, map_cfgs, first_frame,
+                       mesh, shard_maps=False):
+    """SPMD `pipeline.process_frame`. `cfg`/`map_cfgs`/`first_frame`/`mesh`/
+    `shard_maps` must be static under jit."""
+    n = mesh.devices.size
+    body = partial(pipeline.process_frame, cfg=cfg, map_cfgs=map_cfgs,
+                   first_frame=first_frame, axis_name=AXIS, n_shards=n,
+                   shard_maps=shard_maps)
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(), _maps_spec(cfg, shard_maps), P(), P()),
+                   out_specs=_result_spec(cfg, shard_maps), check_vma=False)
+    return fn(ri, maps, prev_kp, inp)
+
+
+def process_keypoints_spmd(kps, ri, maps, prev_kp, inp, cfg, map_cfgs,
+                           first_frame, mesh, shard_maps=False):
+    """SPMD `pipeline.process_keypoints` (multi-LiDAR merged-keypoint path)."""
+    n = mesh.devices.size
+    body = partial(pipeline.process_keypoints, cfg=cfg, map_cfgs=map_cfgs,
+                   first_frame=first_frame, axis_name=AXIS, n_shards=n,
+                   shard_maps=shard_maps)
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(), P(), _maps_spec(cfg, shard_maps), P(), P()),
+                   out_specs=_result_spec(cfg, shard_maps), check_vma=False)
+    return fn(kps, ri, maps, prev_kp, inp)
+
+
+def process_frame_stream_spmd(ri, state, stamp, az_res, cfg, map_cfgs,
+                              first_frame, extras, mesh, shard_maps=False):
+    """SPMD streaming step: the chained device state (previous keypoints,
+    poses — and the maps, replicated or slab-sharded per `shard_maps`)
+    advances in lock-step on every chip; per-frame communication is the
+    psum/all_gather of the sharded ICP (+ the k-NN merge and roll migration
+    when the maps shard)."""
+    n = mesh.devices.size
+
+    def body(ri, state, stamp, az_res, extras):
+        return pipeline.process_frame_stream(
+            ri, state, stamp, az_res, cfg, map_cfgs, first_frame,
+            extras=extras, axis_name=AXIS, n_shards=n, shard_maps=shard_maps)
+
+    if shard_maps:
+        state_spec = pipeline.StreamState(
+            maps=_maps_spec(cfg, True), prev_keypoints=P(), pose=P(),
+            prev_pose=P(), t_cur=P(), t_prev=P(), kf_pose=P(), kf_counter=P(),
+            origin_vox=P(), n_frames=P())
+    else:
+        state_spec = P()
+    fn = shard_map(body, mesh=mesh, in_specs=(P(), state_spec, P(), P(), P()),
+                   out_specs=(state_spec, P(), P()), check_vma=False)
+    return fn(ri, state, stamp, az_res, extras)

@@ -55,8 +55,12 @@ def _shared_resolution(cfg: SlamConfig) -> float:
 class Slam:
     """The public SLAM engine API (Slam.h:110-394 capability surface)."""
 
-    def __init__(self, config: Optional[SlamConfig] = None, mesh=None):
+    def __init__(self, config: Optional[SlamConfig] = None, mesh=None,
+                 shard_maps: bool = False):
         self.cfg = config or SlamConfig()
+        if shard_maps and mesh is None:
+            raise ValueError("shard_maps requires a mesh")
+        self.shard_maps = bool(shard_maps)
         if self.cfg.two_d_mode and not self.cfg.solver.two_d_mode:
             # SlamConfig.two_d_mode is the user-facing 2D flag (Slam.h); the
             # LM solver reads SolverConfig.two_d_mode — keep them wired
@@ -90,19 +94,49 @@ class Slam:
 
         self.reset()
 
-        self._process = jax.jit(
-            pipeline.process_frame,
-            static_argnames=("cfg", "map_cfgs", "first_frame"),
-            donate_argnums=(1,))
-        self._process_kp = jax.jit(
-            pipeline.process_keypoints,
-            static_argnames=("cfg", "map_cfgs", "first_frame"),
-            donate_argnums=(2,))
+        if mesh is None:
+            self._process = jax.jit(
+                pipeline.process_frame,
+                static_argnames=("cfg", "map_cfgs", "first_frame"),
+                donate_argnums=(1,))
+            self._process_kp = jax.jit(
+                pipeline.process_keypoints,
+                static_argnames=("cfg", "map_cfgs", "first_frame"),
+                donate_argnums=(2,))
+            self._process_stream = jax.jit(
+                pipeline.process_frame_stream,
+                static_argnames=("cfg", "map_cfgs", "first_frame"),
+                donate_argnums=(1,))
+        else:
+            # multi-chip SPMD: the same pipeline under shard_map — matcher +
+            # solver shard over the mesh's kp axis, psum-reduced normal
+            # equations, replicated maps (parallel/sharded.py). One flag
+            # replaces the reference's NbThreads knob (Slam.h:402-403).
+            from functools import partial as _partial
+
+            from lidarslam_tpu.parallel import sharded as sharded_mod
+            n = mesh.devices.size
+            if cfg.extractor.max_keypoints % n:
+                raise ValueError(
+                    f"extractor.max_keypoints ({cfg.extractor.max_keypoints}) "
+                    f"must be divisible by the mesh size ({n})")
+            if self.shard_maps:
+                for k in cfg.used_types:
+                    if self.map_cfgs[k].capacity % n:
+                        raise ValueError(
+                            f"map capacity ({self.map_cfgs[k].capacity}) must "
+                            f"be divisible by the mesh size ({n})")
+            statics = ("cfg", "map_cfgs", "first_frame", "mesh", "shard_maps")
+            self._process = _partial(jax.jit(
+                sharded_mod.process_frame_spmd, static_argnames=statics,
+                donate_argnums=(1,)), mesh=mesh, shard_maps=self.shard_maps)
+            self._process_kp = _partial(jax.jit(
+                sharded_mod.process_keypoints_spmd, static_argnames=statics,
+                donate_argnums=(2,)), mesh=mesh, shard_maps=self.shard_maps)
+            self._process_stream = _partial(jax.jit(
+                sharded_mod.process_frame_stream_spmd, static_argnames=statics,
+                donate_argnums=(1,)), mesh=mesh, shard_maps=self.shard_maps)
         self._extract = jax.jit(extractor_mod.extract_keypoints, static_argnums=(2,))
-        self._process_stream = jax.jit(
-            pipeline.process_frame_stream,
-            static_argnames=("cfg", "map_cfgs", "first_frame"),
-            donate_argnums=(1,))
         self._warp_points = jax.jit(undistortion.warp_points)
         # per-LiDAR-device calibration: BASE <- LIDAR (Slam.h:502-505)
         self.base_to_lidar_offsets: Dict[int, np.ndarray] = {}
@@ -152,6 +186,20 @@ class Slam:
     def _empty_keypoints(self):
         cap = self.cfg.extractor.max_keypoints
         return tuple(Keypoints.empty(cap) for _ in range(3))
+
+    def _reshard_maps(self):
+        """Repack host-built maps into slab layout for the shard-maps
+        pipeline (no-op otherwise). Must follow every map rebuild that
+        bypasses the sharded insert path (PCD load, PGO rebuild, checkpoint
+        restore)."""
+        if not self.shard_maps:
+            return
+        from lidarslam_tpu.parallel import sharded_map
+
+        n = self.mesh.devices.size
+        for k in self.cfg.used_types:
+            self.maps[k] = sharded_map.reshard_host(self.maps[k],
+                                                    self.map_cfgs[k], n)
 
     # ------------------------------------------------------------------
     # Main entry
@@ -687,6 +735,7 @@ class Slam:
         if last_bbox is not None:
             res = voxel_map.effective_resolution(next(iter(self.map_cfgs.values())))
             self.map_origin = self.map_origin + off.astype(np.float64) * res
+        self._reshard_maps()
 
         self.Tworld = new_poses[-1].copy()
         self.PreviousTworld = new_poses[-2].copy()
@@ -814,6 +863,7 @@ class Slam:
                 mc, fixed=fixed)
             if len(pts):
                 self._maps_populated = True
+        self._reshard_maps()
 
     # ------------------------------------------------------------------
     # Full-state checkpoint / resume (beyond the reference's PCD-only
@@ -870,6 +920,7 @@ class Slam:
             if fields["xyz"].shape[0] != self.map_cfgs[k].capacity:
                 raise ValueError("checkpoint map capacity mismatch")
             self.maps[k] = voxel_map.VoxelMap(**fields)
+        self._reshard_maps()
 
     def start_profiling(self, log_dir: str):
         """Start a jax.profiler trace of the device pipeline (the TPU-side
