@@ -258,6 +258,12 @@ class SlamConfig:
 
     # sub-configs
     extractor: ExtractorConfig = ExtractorConfig()
+    # per-LiDAR-device extractor overrides for multi-LiDAR rigs: one
+    # extractor instance (own ring count / thresholds) per device_id, the
+    # reference's KeyframeExtractors map (Slam.h:239-245,
+    # LidarSlamNode.cxx:791-817). Tuple of (device_id, ExtractorConfig)
+    # pairs so the frozen config stays hashable (static under jit).
+    device_extractors: tuple = ()
     # per-keypoint-type maps with reference leaf sizes (Slam.cxx:155-157);
     # search rings sized for ~2.4 m guaranteed k-NN coverage per type
     edge_map: MapConfig = MapConfig(leaf_size=0.30, search_rings=2)
@@ -275,6 +281,13 @@ class SlamConfig:
     loc_matching: MatchingConfig = MatchingConfig()
     solver: SolverConfig = SolverConfig()
     confidence: ConfidenceConfig = ConfidenceConfig()
+
+    def extractor_for(self, device_id: int) -> ExtractorConfig:
+        """The extractor of one LiDAR device (Slam::GetKeyframeExtractor)."""
+        for d, e in self.device_extractors:
+            if d == device_id:
+                return e
+        return self.extractor
 
     def map_config(self, k: Keypoint) -> MapConfig:
         return (self.edge_map, self.plane_map, self.blob_map)[int(k)]

@@ -401,11 +401,32 @@ def process_frame_stream(ri: RangeImage, state: StreamState, stamp, az_res,
                          cfg: SlamConfig, map_cfgs: tuple, first_frame: bool,
                          extras=(), axis_name=None, n_shards: int = 1,
                          shard_maps: bool = False):
-    """One chained streaming step: returns (state', packed_out (64,)).
+    """One chained streaming step: returns (state', packed_out (64,), kps).
 
     packed_out = FrameResult.packed (61) + origin_vox after this frame (3);
     poses in it are relative to the origin *before* this frame's roll."""
     ri = ensure_range_image(ri)
+    ext = extractor.extract_keypoints(ri, az_res, cfg.extractor)
+    kps = (ext.edges, ext.planes, ext.blobs)
+    return _stream_step(kps, ri, state, stamp, az_res, cfg, map_cfgs,
+                        first_frame, extras, axis_name, n_shards, shard_maps)
+
+
+def process_keypoints_stream(kps: tuple, state: StreamState, stamp, az_res,
+                             cfg: SlamConfig, map_cfgs: tuple,
+                             first_frame: bool, extras=(), axis_name=None,
+                             n_shards: int = 1, shard_maps: bool = False):
+    """Streaming step from pre-extracted (multi-LiDAR merged) keypoints —
+    the streaming analog of `process_keypoints`, so rigs with several
+    LiDARs (each with its own extractor) also run without per-frame host
+    syncs (Slam::AddFrames multi-device + the streaming mode)."""
+    return _stream_step(kps, None, state, stamp, az_res, cfg, map_cfgs,
+                        first_frame, extras, axis_name, n_shards, shard_maps)
+
+
+def _stream_step(kps, ri, state: StreamState, stamp, az_res, cfg: SlamConfig,
+                 map_cfgs, first_frame, extras, axis_name, n_shards,
+                 shard_maps):
     # in-graph constant-velocity extrapolation (Slam.cxx:821-836)
     ratio_guard = cfg.max_extrapolation_ratio
     Rw, tw = undistortion.jinterpolate_pose(state.prev_pose, state.pose, stamp,
@@ -413,9 +434,6 @@ def process_frame_stream(ri: RangeImage, state: StreamState, stamp, az_res,
     ext_pose = se3.jrt_to_pose(Rw, tw)
     trel = _relative_pose(state.pose, ext_pose)
     trel = jnp.where(state.n_frames >= 2, trel, jnp.zeros(6))
-
-    ext = extractor.extract_keypoints(ri, az_res, cfg.extractor)
-    kps = (ext.edges, ext.planes, ext.blobs)
 
     inp = FrameInputs(
         trel_prior=trel, prev_pose=state.pose, t_prev=state.t_cur,

@@ -157,13 +157,34 @@ def process_frame_stream_spmd(ri, state, stamp, az_res, cfg, map_cfgs,
             ri, state, stamp, az_res, cfg, map_cfgs, first_frame,
             extras=extras, axis_name=AXIS, n_shards=n, shard_maps=shard_maps)
 
-    if shard_maps:
-        state_spec = pipeline.StreamState(
-            maps=_maps_spec(cfg, True), prev_keypoints=P(), pose=P(),
-            prev_pose=P(), t_cur=P(), t_prev=P(), kf_pose=P(), kf_counter=P(),
-            origin_vox=P(), n_frames=P())
-    else:
-        state_spec = P()
+    state_spec = _stream_state_spec(cfg, shard_maps)
     fn = shard_map(body, mesh=mesh, in_specs=(P(), state_spec, P(), P(), P()),
                    out_specs=(state_spec, P(), P()), check_vma=False)
     return fn(ri, state, stamp, az_res, extras)
+
+
+def _stream_state_spec(cfg, shard_maps: bool):
+    if not shard_maps:
+        return P()
+    return pipeline.StreamState(
+        maps=_maps_spec(cfg, True), prev_keypoints=P(), pose=P(),
+        prev_pose=P(), t_cur=P(), t_prev=P(), kf_pose=P(), kf_counter=P(),
+        origin_vox=P(), n_frames=P())
+
+
+def process_keypoints_stream_spmd(kps, state, stamp, az_res, cfg, map_cfgs,
+                                  first_frame, extras, mesh,
+                                  shard_maps=False):
+    """SPMD streaming step from pre-extracted merged keypoints — the
+    multi-LiDAR streaming analog of `process_frame_stream_spmd`."""
+    n = mesh.devices.size
+
+    def body(kps, state, stamp, az_res, extras):
+        return pipeline.process_keypoints_stream(
+            kps, state, stamp, az_res, cfg, map_cfgs, first_frame,
+            extras=extras, axis_name=AXIS, n_shards=n, shard_maps=shard_maps)
+
+    state_spec = _stream_state_spec(cfg, shard_maps)
+    fn = shard_map(body, mesh=mesh, in_specs=(P(), state_spec, P(), P(), P()),
+                   out_specs=(state_spec, P(), P()), check_vma=False)
+    return fn(kps, state, stamp, az_res, extras)

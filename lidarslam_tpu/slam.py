@@ -107,6 +107,10 @@ class Slam:
                 pipeline.process_frame_stream,
                 static_argnames=("cfg", "map_cfgs", "first_frame"),
                 donate_argnums=(1,))
+            self._process_kp_stream = jax.jit(
+                pipeline.process_keypoints_stream,
+                static_argnames=("cfg", "map_cfgs", "first_frame"),
+                donate_argnums=(1,))
         else:
             # multi-chip SPMD: the same pipeline under shard_map — matcher +
             # solver shard over the mesh's kp axis, psum-reduced normal
@@ -136,6 +140,10 @@ class Slam:
             self._process_stream = _partial(jax.jit(
                 sharded_mod.process_frame_stream_spmd, static_argnames=statics,
                 donate_argnums=(1,)), mesh=mesh, shard_maps=self.shard_maps)
+            self._process_kp_stream = _partial(jax.jit(
+                sharded_mod.process_keypoints_stream_spmd,
+                static_argnames=statics,
+                donate_argnums=(1,)), mesh=mesh, shard_maps=self.shard_maps)
         self._extract = jax.jit(extractor_mod.extract_keypoints, static_argnums=(2,))
         self._warp_points = jax.jit(undistortion.warp_points)
         # per-LiDAR-device calibration: BASE <- LIDAR (Slam.h:502-505)
@@ -164,6 +172,7 @@ class Slam:
         self.map_overflow = np.zeros(3, np.int64)
         self.latency = 0.0
         self.azimuthal_resolution = cfg.extractor.azimuthal_resolution
+        self._az_by_device: Dict[int, float] = {}
         self.current_keypoints: Dict[Keypoint, Keypoints] = {}
         self.current_warp = None
         self.last_stamp = None
@@ -278,52 +287,14 @@ class Slam:
         if skip:
             return -1
         stamp = float(frame["stamp"])
-        if getattr(self, "_stream_state", None) is None:
-            self._stream_state = pipeline.init_stream_state(cfg, self._map_cfgs_tuple)
-            self._stream_pending = []
-            if self._maps_populated or self.n_frames > 0:
-                # seed from the host state (previous segment / preloaded maps);
-                # maps are copied because the stream state gets donated
-                res_m = voxel_map.effective_resolution(
-                    self._map_cfgs_tuple[int(cfg.used_types[0])])
-                rel = self.Tworld.copy()
-                rel[:3, 3] -= self.map_origin
-                prev_rel = self.PreviousTworld.copy()
-                prev_rel[:3, 3] -= self.map_origin
-                kf_rel = self.kf_last_pose.copy()
-                kf_rel[:3, 3] -= self.map_origin
-                t_cur = self.log_trajectory[-1]["time"] if self.log_trajectory else 0.0
-                t_prev = self.log_trajectory[-2]["time"] if len(self.log_trajectory) > 1 \
-                    else t_cur
-                self._stream_state = self._stream_state._replace(
-                    maps=tuple(None if self.maps.get(Keypoint(i)) is None
-                               else jax.tree.map(jnp.copy, self.maps[Keypoint(i)])
-                               for i in range(3)),
-                    pose=jnp.asarray(se3.hmat_to_pose(rel), jnp.float32),
-                    prev_pose=jnp.asarray(se3.hmat_to_pose(prev_rel), jnp.float32),
-                    t_cur=jnp.float32(t_cur), t_prev=jnp.float32(t_prev),
-                    kf_pose=jnp.asarray(se3.hmat_to_pose(kf_rel), jnp.float32),
-                    kf_counter=jnp.int32(self.kf_counter),
-                    origin_vox=jnp.asarray(
-                        np.round(self.map_origin / res_m), jnp.int32),
-                    n_frames=jnp.int32(max(self.n_frames, 1)))
+        self._ensure_stream_state()
         ri = self._build_ri(frame)
         if self.azimuthal_resolution <= 1e-6 or self.azimuthal_resolution > np.pi / 4:
             from lidarslam_tpu.ops.frame import ensure_range_image
             self.azimuthal_resolution = float(
                 estimate_azimuthal_resolution(ensure_range_image(ri)))
 
-        extras = []
-        if self.wheel_odom.can_be_used():
-            r = self.wheel_odom.compute_constraint(stamp)
-            if r is not None:
-                extras.append(r._replace(
-                    prev_pos=r.prev_pos - jnp.asarray(self.map_origin, jnp.float32)))
-        if self.imu.can_be_used():
-            r = self.imu.compute_constraint(stamp)
-            if r is not None:
-                extras.append(r)
-
+        extras = self._stream_extras(stamp)
         first = not self._maps_populated and len(self._stream_pending) == 0 \
             and self.n_frames == 0
         self._stream_state, packed, kps = self._process_stream(
@@ -338,6 +309,55 @@ class Slam:
                                      "kps": kps})
         self.last_stamp = frame["stamp"]
         return len(self._stream_pending) - 1
+
+    def _ensure_stream_state(self):
+        """Create (and seed from host state) the device-resident stream
+        state at the start of a streaming segment."""
+        cfg = self.cfg
+        if getattr(self, "_stream_state", None) is not None:
+            return
+        self._stream_state = pipeline.init_stream_state(cfg, self._map_cfgs_tuple)
+        self._stream_pending = []
+        if self._maps_populated or self.n_frames > 0:
+            # seed from the host state (previous segment / preloaded maps);
+            # maps are copied because the stream state gets donated
+            res_m = voxel_map.effective_resolution(
+                self._map_cfgs_tuple[int(cfg.used_types[0])])
+            rel = self.Tworld.copy()
+            rel[:3, 3] -= self.map_origin
+            prev_rel = self.PreviousTworld.copy()
+            prev_rel[:3, 3] -= self.map_origin
+            kf_rel = self.kf_last_pose.copy()
+            kf_rel[:3, 3] -= self.map_origin
+            t_cur = self.log_trajectory[-1]["time"] if self.log_trajectory else 0.0
+            t_prev = self.log_trajectory[-2]["time"] if len(self.log_trajectory) > 1 \
+                else t_cur
+            self._stream_state = self._stream_state._replace(
+                maps=tuple(None if self.maps.get(Keypoint(i)) is None
+                           else jax.tree.map(jnp.copy, self.maps[Keypoint(i)])
+                           for i in range(3)),
+                pose=jnp.asarray(se3.hmat_to_pose(rel), jnp.float32),
+                prev_pose=jnp.asarray(se3.hmat_to_pose(prev_rel), jnp.float32),
+                t_cur=jnp.float32(t_cur), t_prev=jnp.float32(t_prev),
+                kf_pose=jnp.asarray(se3.hmat_to_pose(kf_rel), jnp.float32),
+                kf_counter=jnp.int32(self.kf_counter),
+                origin_vox=jnp.asarray(
+                    np.round(self.map_origin / res_m), jnp.int32),
+                n_frames=jnp.int32(max(self.n_frames, 1)))
+
+    def _stream_extras(self, stamp):
+        """Sensor residual blocks for a streaming step (map-frame rebased)."""
+        extras = []
+        if self.wheel_odom.can_be_used():
+            r = self.wheel_odom.compute_constraint(stamp)
+            if r is not None:
+                extras.append(r._replace(
+                    prev_pos=r.prev_pos - jnp.asarray(self.map_origin, jnp.float32)))
+        if self.imu.can_be_used():
+            r = self.imu.compute_constraint(stamp)
+            if r is not None:
+                extras.append(r)
+        return extras
 
     def flush(self) -> list:
         """Synchronize streaming results into the host logs; returns the
@@ -417,25 +437,7 @@ class Slam:
             return skip
         stamp = float(frames[0]["stamp"])
 
-        from lidarslam_tpu.ops.frame import merge_keypoints, transform_keypoints
-
-        per_type = {0: [], 1: [], 2: []}
-        for f in frames:
-            dev = int(f.get("device_id", 0))
-            ri = build_range_image(f["xyz"], f["intensity"], f["laser_id"],
-                                   f["time"], cfg.extractor.n_rings,
-                                   cfg.extractor.max_ring_points)
-            if self.azimuthal_resolution <= 1e-6:
-                self.azimuthal_resolution = float(estimate_azimuthal_resolution(ri))
-            ext = self._extract(ri, jnp.float32(self.azimuthal_resolution), cfg.extractor)
-            offset = self.base_to_lidar_offsets.get(dev, np.eye(4))
-            pose6 = jnp.asarray(se3.hmat_to_pose(offset), jnp.float32)
-            dt = float(f["stamp"]) - stamp
-            from lidarslam_tpu.ops.frame import transform_keypoints as _tk
-            for i, kp in enumerate((ext.edges, ext.planes, ext.blobs)):
-                per_type[i].append(_tk(kp, pose6, dt))
-        cap = cfg.extractor.max_keypoints
-        kps = tuple(merge_keypoints(per_type[i], cap) for i in range(3))
+        kps = self._extract_merge(frames, stamp)
 
         inp = self._make_inputs(stamp)
         first = not self._maps_populated
@@ -447,6 +449,67 @@ class Slam:
         out = self._apply_result(res, stamp, t0)
         self.last_stamp = frames[0]["stamp"]
         return out
+
+    def _extract_merge(self, frames, stamp):
+        """Per-device extraction (each LiDAR with its own ExtractorConfig and
+        azimuthal resolution, Slam.h:239-245 / LidarSlamNode.cxx:791-817),
+        BASE-frame transform by calibration offset, time rebase, and merge
+        into one keypoint set per type."""
+        cfg = self.cfg
+        from lidarslam_tpu.ops.frame import merge_keypoints, transform_keypoints
+
+        per_type = {0: [], 1: [], 2: []}
+        for f in frames:
+            dev = int(f.get("device_id", 0))
+            ecfg = cfg.extractor_for(dev)
+            ri = build_range_image(f["xyz"], f["intensity"], f["laser_id"],
+                                   f["time"], ecfg.n_rings, ecfg.max_ring_points)
+            az = self._az_by_device.get(dev, ecfg.azimuthal_resolution)
+            if az <= 1e-6 or az > np.pi / 4:
+                az = float(estimate_azimuthal_resolution(ri))
+                self._az_by_device[dev] = az
+            if self.azimuthal_resolution <= 1e-6:
+                self.azimuthal_resolution = az
+            ext = self._extract(ri, jnp.float32(az), ecfg)
+            offset = self.base_to_lidar_offsets.get(dev, np.eye(4))
+            pose6 = jnp.asarray(se3.hmat_to_pose(offset), jnp.float32)
+            dt = float(f["stamp"]) - stamp
+            for i, kp in enumerate((ext.edges, ext.planes, ext.blobs)):
+                per_type[i].append(transform_keypoints(kp, pose6, dt))
+        cap = cfg.extractor.max_keypoints
+        return tuple(merge_keypoints(per_type[i], cap) for i in range(3))
+
+    def add_frames_async(self, frames) -> int:
+        """Streaming multi-LiDAR: enqueue one synchronized multi-device
+        acquisition with per-device extraction, merged keypoints chained
+        through the device-resident stream (no per-frame host sync).
+        Returns the pending frame index; results land at `flush()`."""
+        cfg = self.cfg
+        frames = [f for f in frames if f["xyz"] is not None and len(f["xyz"])]
+        if not frames:
+            return -1
+        if len(frames) == 1 and int(frames[0].get("device_id", 0)) not in \
+                self.base_to_lidar_offsets:
+            return self.add_frame_async(frames[0])
+        skip = self._check_frame(frames[0])
+        if skip:
+            return -1
+        stamp = float(frames[0]["stamp"])
+        self._ensure_stream_state()
+        kps = self._extract_merge(frames, stamp)
+
+        extras = self._stream_extras(stamp)
+        first = not self._maps_populated and len(self._stream_pending) == 0 \
+            and self.n_frames == 0
+        self._stream_state, packed, kps_out = self._process_kp_stream(
+            kps, self._stream_state, jnp.float32(stamp),
+            jnp.float32(self.azimuthal_resolution), cfg, self._map_cfgs_tuple,
+            first, tuple(extras))
+        kps_out = jax.tree.map(jnp.copy, kps_out)
+        self._stream_pending.append({"stamp": stamp, "packed": jnp.copy(packed),
+                                     "kps": kps_out})
+        self.last_stamp = frames[0]["stamp"]
+        return len(self._stream_pending) - 1
 
     def set_base_to_lidar_offset(self, device_id: int, hmat):
         """Static LIDAR-in-BASE calibration per device (Slam.h:502-505)."""
