@@ -52,6 +52,10 @@ def _build_slam(args):
                                       max_keypoints=args.max_keypoints or 2048),
             verbosity=args.verbosity,
         )
+    if getattr(args, "log_dir", None):
+        from lidarslam_tpu.config import LoggingStorage
+        cfg = dataclasses.replace(cfg, logging_storage=LoggingStorage.DISK,
+                                  logging_dir=args.log_dir)
     return Slam(cfg)
 
 
@@ -91,7 +95,7 @@ def cmd_run(args):
     frames = _frames_from_args(args)
     os.makedirs(args.out, exist_ok=True)
 
-    poses, evals = [], []
+    poses, evals, summaries = [], [], []
     for i, f in enumerate(frames):
         r = slam.add_frame(f)
         if "skipped" in r:
@@ -99,6 +103,7 @@ def cmd_run(args):
             continue
         poses.append((f["stamp"], r["pose"]))
         evals.append((f["stamp"], r["overlap"], r["n_matches"], r["duration"]))
+        summaries.append(r)
         if args.verbosity >= 1:
             p = r["pose"][:3, 3]
             print(f"frame {i}: pos [{p[0]:.3f} {p[1]:.3f} {p[2]:.3f}] "
@@ -110,9 +115,35 @@ def cmd_run(args):
     csv_log.write_tum_poses(os.path.join(args.out, "poses_tum.txt"), poses)
     if args.save_maps:
         slam.save_maps_to_pcd(os.path.join(args.out, "map_"))
+    from lidarslam_tpu.io import export
+    export.write_trajectory_csv(os.path.join(args.out, "Trajectory.csv"),
+                                slam, extras=summaries)
+    export.save_trajectory_ply(os.path.join(args.out, "trajectory.ply"), slam)
+    n_agg = None
+    if args.aggregate:
+        n_agg = export.save_aggregated_pcd(
+            os.path.join(args.out, "aggregated.pcd"), slam)
     d = np.array([e[3] for e in evals])
     print(json.dumps({"frames": len(poses),
                       "mean_frame_ms": round(float(d.mean() * 1000), 2) if len(d) else None,
+                      "aggregated_points": n_agg,
+                      "out": args.out}))
+
+
+def cmd_aggregate(args):
+    """Offline re-aggregation: DISK keypoint log + Trajectory.csv ->
+    world-frame PCD (the vtkSlam aggregated output, detached from a live
+    run so long logs can be exported after the fact, e.g. post-PGO)."""
+    from lidarslam_tpu.io import export, pcd
+
+    traj = export.read_trajectory_csv(args.trajectory)
+    types = args.types.split(",") if args.types else None
+    agg = export.aggregate_disk_log(args.log_dir, traj, types=types,
+                                    undistort=not args.no_undistort)
+    pcd.save_pcd(args.out, agg["xyz"], intensity=agg["intensity"],
+                 time=agg["time"], label=agg["label"], binary=True)
+    print(json.dumps({"points": int(len(agg["xyz"])),
+                      "frames": int(agg["frame_id"].max() + 1),
                       "out": args.out}))
 
 
@@ -165,8 +196,22 @@ def main(argv=None):
                      help="0 none, 1 once, 2 refined")
     run.add_argument("--use-blobs", action="store_true")
     run.add_argument("--save-maps", action="store_true")
+    run.add_argument("--aggregate", action="store_true",
+                     help="write aggregated.pcd (world-frame logged frames)")
+    run.add_argument("--log-dir",
+                     help="write the keypoint log as PCDs here (DISK storage)")
     run.add_argument("--verbosity", type=int, default=0)
     run.set_defaults(fn=cmd_run)
+
+    agg = sub.add_parser("aggregate",
+                         help="re-aggregate a DISK keypoint log to one PCD")
+    agg.add_argument("--log-dir", required=True)
+    agg.add_argument("--trajectory", required=True,
+                     help="Trajectory.csv from a run (post-PGO poses allowed)")
+    agg.add_argument("--out", required=True)
+    agg.add_argument("--types", help="comma list: edge,plane,blob")
+    agg.add_argument("--no-undistort", action="store_true")
+    agg.set_defaults(fn=cmd_aggregate)
 
     cmp = sub.add_parser("compare", help="compare a run against a golden run")
     cmp.add_argument("--res", required=True)
