@@ -39,6 +39,10 @@ class FrameInputs(NamedTuple):
     kf_last_pose: jax.Array    # (6,) last keyframe pose, MAP frame
     kf_counter: jax.Array      # () int32
     extras: tuple = ()         # sensor residual blocks (structure is static)
+    # traced map-update switch: SlamCommand DISABLE/ENABLE_SLAM_MAP_UPDATE
+    # (LidarSlamNode.cxx:285-301) flips this live with zero recompilation —
+    # it is a data input, not part of the static config
+    map_update: jax.Array = True  # () bool
 
 
 class FrameResult(NamedTuple):
@@ -306,7 +310,7 @@ def process_keypoints(
     is_kf = ((n_map_pts < cfg.min_nb_matched_keypoints * 10)
              | (trans >= coef * cfg.kf_distance_threshold)
              | (rot >= jnp.deg2rad(coef * cfg.kf_angle_threshold)))
-    do_update = is_kf & ~failed & (cfg.mapping_mode != 0)
+    do_update = is_kf & ~failed & jnp.asarray(inp.map_update)
 
     # union world bbox of keypoints -> one shared roll offset
     world_kp = [None, None, None]
@@ -395,6 +399,7 @@ class StreamState(NamedTuple):
     kf_counter: jax.Array  # () int32
     origin_vox: jax.Array  # (3,) int32 accumulated window shifts
     n_frames: jax.Array    # () int32
+    map_update: jax.Array  # () bool, live SlamCommand map-update switch
 
 
 def process_frame_stream(ri: RangeImage, state: StreamState, stamp, az_res,
@@ -438,7 +443,8 @@ def _stream_step(kps, ri, state: StreamState, stamp, az_res, cfg: SlamConfig,
     inp = FrameInputs(
         trel_prior=trel, prev_pose=state.pose, t_prev=state.t_cur,
         stamp=stamp, az_resolution=az_res, kf_last_pose=state.kf_pose,
-        kf_counter=state.kf_counter, extras=extras)
+        kf_counter=state.kf_counter, extras=extras,
+        map_update=state.map_update)
     res = process_keypoints(kps, ri, state.maps, state.prev_keypoints, inp,
                             cfg, map_cfgs, first_frame, axis_name=axis_name,
                             n_shards=n_shards, shard_maps=shard_maps)
@@ -457,6 +463,7 @@ def _stream_step(kps, ri, state: StreamState, stamp, az_res, cfg: SlamConfig,
         kf_counter=state.kf_counter + res.is_keyframe.astype(jnp.int32),
         origin_vox=state.origin_vox + res.roll_offset,
         n_frames=state.n_frames + 1,
+        map_update=state.map_update,
     )
     packed = jnp.concatenate([
         res.packed, (state.origin_vox + res.roll_offset).astype(jnp.float32)])
@@ -474,7 +481,8 @@ def init_stream_state(cfg: SlamConfig, map_cfgs) -> StreamState:
         pose=jnp.zeros(6), prev_pose=jnp.zeros(6),
         t_cur=jnp.zeros(()), t_prev=jnp.zeros(()),
         kf_pose=jnp.zeros(6), kf_counter=jnp.zeros((), jnp.int32),
-        origin_vox=jnp.zeros(3, jnp.int32), n_frames=jnp.zeros((), jnp.int32))
+        origin_vox=jnp.zeros(3, jnp.int32), n_frames=jnp.zeros((), jnp.int32),
+        map_update=jnp.asarray(cfg.mapping_mode != 0))
 
 
 def _relative_pose(pose_a, pose_b):

@@ -169,7 +169,7 @@ def _stream_state_spec(cfg, shard_maps: bool):
     return pipeline.StreamState(
         maps=_maps_spec(cfg, True), prev_keypoints=P(), pose=P(),
         prev_pose=P(), t_cur=P(), t_prev=P(), kf_pose=P(), kf_counter=P(),
-        origin_vox=P(), n_frames=P())
+        origin_vox=P(), n_frames=P(), map_update=P())
 
 
 def process_keypoints_stream_spmd(kps, state, stamp, az_res, cfg, map_cfgs,

@@ -171,6 +171,7 @@ class Slam:
         self.match_counts = np.zeros(3, np.int64)
         self.map_overflow = np.zeros(3, np.int64)
         self.latency = 0.0
+        self.mapping_mode = cfg.mapping_mode  # live (SlamCommand-switchable)
         self.azimuthal_resolution = cfg.extractor.azimuthal_resolution
         self._az_by_device: Dict[int, float] = {}
         self.current_keypoints: Dict[Keypoint, Keypoints] = {}
@@ -317,6 +318,8 @@ class Slam:
         if getattr(self, "_stream_state", None) is not None:
             return
         self._stream_state = pipeline.init_stream_state(cfg, self._map_cfgs_tuple)
+        self._stream_state = self._stream_state._replace(
+            map_update=jnp.asarray(self.mapping_mode != MappingMode.NONE))
         self._stream_pending = []
         if self._maps_populated or self.n_frames > 0:
             # seed from the host state (previous segment / preloaded maps);
@@ -567,7 +570,8 @@ class Slam:
             az_resolution=jnp.float32(self.azimuthal_resolution),
             kf_last_pose=jnp.asarray(se3.hmat_to_pose(kf_rel), jnp.float32),
             kf_counter=jnp.int32(self.kf_counter),
-            extras=tuple(extras))
+            extras=tuple(extras),
+            map_update=np.bool_(self.mapping_mode != MappingMode.NONE))
 
     def _apply_result(self, res: pipeline.FrameResult, stamp, t0) -> dict:
         """One host sync for the scalar outputs, then float64 bookkeeping."""
@@ -878,6 +882,68 @@ class Slam:
                 np.asarray(self.Tworld[:3, 3], np.float32)
         return pts
 
+    def set_map_update(self, mode):
+        """Live mapping-mode switch (Slam::SetMapUpdate through SlamCommand
+        8/9/10, LidarSlamNode.cxx:285-301). The switch is a traced data
+        input to the compiled pipeline, so flipping it never recompiles —
+        it takes effect on the next frame, including mid-stream."""
+        self.mapping_mode = MappingMode(mode)
+        if getattr(self, "_stream_state", None) is not None:
+            self._stream_state = self._stream_state._replace(
+                map_update=jnp.asarray(self.mapping_mode != MappingMode.NONE))
+
+    def get_map_update(self):
+        return self.mapping_mode
+
+    # SlamCommand codes (ros_wrapping/lidar_slam/msg/SlamCommand.msg)
+    GPS_SLAM_CALIBRATION = 0
+    GPS_SLAM_POSE_GRAPH_OPTIMIZATION = 2
+    SET_SLAM_POSE_FROM_GPS = 4
+    DISABLE_SLAM_MAP_UPDATE = 8
+    ENABLE_SLAM_MAP_EXPANSION = 9
+    ENABLE_SLAM_MAP_UPDATE = 10
+    SAVE_KEYPOINTS_MAPS = 16
+    SAVE_FILTERED_KEYPOINTS_MAPS = 17
+    LOAD_KEYPOINTS_MAPS = 18
+
+    def execute_command(self, command: int, string_arg: str = "", **kw):
+        """Runtime command dispatch (LidarSlamNode::SlamCommandCallback,
+        LidarSlamNode.cxx:244-349): live map-update switches, mid-run map
+        save/load, GPS-prior pose-graph optimization and pose reset. Map
+        IO commands synchronize (flush) an active stream first; mode
+        switches apply live without ending the stream or recompiling."""
+        c = int(command)
+        if c == self.DISABLE_SLAM_MAP_UPDATE:
+            self.set_map_update(MappingMode.NONE)
+        elif c == self.ENABLE_SLAM_MAP_EXPANSION:
+            self.set_map_update(MappingMode.ADD_KPTS_TO_FIXED_MAP)
+        elif c == self.ENABLE_SLAM_MAP_UPDATE:
+            self.set_map_update(MappingMode.UPDATE)
+        elif c in (self.SAVE_KEYPOINTS_MAPS, self.SAVE_FILTERED_KEYPOINTS_MAPS):
+            self.flush()
+            self.save_maps_to_pcd(string_arg,
+                                  clean=(c == self.SAVE_FILTERED_KEYPOINTS_MAPS))
+        elif c == self.LOAD_KEYPOINTS_MAPS:
+            self.flush()
+            self.load_maps_from_pcd(string_arg)
+        elif c == self.GPS_SLAM_POSE_GRAPH_OPTIMIZATION:
+            self.flush()
+            return self.run_pose_graph_optimization(**kw)
+        elif c == self.GPS_SLAM_CALIBRATION:
+            # rigid world alignment of the SLAM trajectory onto GPS
+            # positions (GpsSlamCalibration path); returns WORLD<-ODOM
+            from lidarslam_tpu.backend import registration
+            self.flush()
+            slam_xyz = np.stack([e["pose"][:3, 3] for e in self.log_trajectory])
+            return registration.compute_transform_offset(
+                slam_xyz, np.asarray(kw["gps_positions"], np.float64),
+                no_roll=bool(kw.get("no_roll", False)))
+        elif c == self.SET_SLAM_POSE_FROM_GPS:
+            self.flush()
+            self.set_world_transform_from_guess(np.asarray(kw["pose"]))
+        else:
+            raise ValueError(f"unknown SLAM command {command}")
+
     def set_world_transform_from_guess(self, pose_hmat: np.ndarray):
         """External pose reset (Slam::SetWorldTransformFromGuess, 490-501)."""
         self.Tworld = np.asarray(pose_hmat, np.float64).copy()
@@ -910,8 +976,8 @@ class Slam:
             self.maps = {k: voxel_map.VoxelMap.empty(self.map_cfgs[k])
                          for k in self.cfg.used_types}
             self.map_origin = np.zeros(3)
-        fixed = self.cfg.mapping_mode in (MappingMode.NONE,
-                                          MappingMode.ADD_KPTS_TO_FIXED_MAP)
+        fixed = self.mapping_mode in (MappingMode.NONE,
+                                      MappingMode.ADD_KPTS_TO_FIXED_MAP)
         for k in self.cfg.used_types:
             path = f"{file_prefix}{KEYPOINT_NAMES[k]}s.pcd"
             if not os.path.exists(path):
