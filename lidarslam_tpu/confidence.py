@@ -32,7 +32,9 @@ def lcp_overlap(sample_xyz, sample_valid, indices: Sequence[SubmapView],
 
     best = jnp.zeros(sample_xyz.shape[0])
     for index, leaf in zip(indices, leaf_sizes):
-        d2, _ = brute_knn(index, sample_xyz, 1)
+        # beyond ~6 sigma the Gaussian contribution underflows, so pruning
+        # the scan at 2 m is lossless for any leaf size in use
+        d2, _ = brute_knn(index, sample_xyz, 1, prune_radius=2.0)
         d2 = d2[:, 0]
         if axis_name is not None:
             d2 = jax.lax.pmin(d2, axis_name)

@@ -82,8 +82,11 @@ def _knn(index: SubmapView, world, k, params: MatchingConfig, geom=None):
         nbr = jax.lax.dynamic_slice_in_dim(nbrf, start, q, 0)
         rings = jax.lax.dynamic_slice_in_dim(ringf, start, q, 0)
         return d2, nbr, rings, jnp.isfinite(d2)
-    # exact brute-force scan (see SubmapView)
-    d2, idx = brute_knn(index, world, k)
+    # exact brute-force scan (see SubmapView); blocks beyond the neighbor
+    # gate are skipped on the Pallas path — any dropped neighbor would have
+    # been rejected by the `near` check below anyway
+    d2, idx = brute_knn(index, world, k,
+                        prune_radius=float(params.max_neighbors_distance))
     nbr = index.xyz[idx]                       # (Q, k, 3) — post-top-k, small
     found = jnp.isfinite(d2)
     return d2, nbr, index.ring[idx], found

@@ -6,13 +6,25 @@ distance matrix in HBM per map chunk and reads it back through
 ~168 us ops that dominate the per-frame profile, see docs/PERFORMANCE.md).
 This kernel fuses the two: distances are computed tile-by-tile in VMEM and
 reduced on the fly into a per-lane-bucket running minimum, so only the
-(Q, L) bucket minima ever reach HBM (~250x less traffic).
+top-k packed results ever reach HBM.
 
-Algorithm = the same bucketed PartialReduce that backs
-`jax.lax.approx_max_k` (TPU kernel of Chern et al., arXiv:2206.14286):
-map slot j lands in bucket j mod L; each bucket keeps its running minimum.
-Expected recall for k=10 over L=1024 buckets is ~0.995, matching the XLA
-path's recall_target=0.99; the 1-NN is always exact.
+Algorithm = the bucketed PartialReduce that backs `jax.lax.approx_max_k`
+(TPU kernel of Chern et al., arXiv:2206.14286): map slot j lands in bucket
+j mod L; each bucket keeps its running minimum. The top-k over the L=1024
+bucket minima is then extracted EXACTLY inside the kernel (k passes of
+min + mask over VMEM — v1 shipped the (Q, L) minima to HBM and paid
+~5.5 ms of approx_top_k + gather chains on 64-beam configs). Expected
+recall for k=10 over L=1024 buckets is ~0.995; the 1-NN is always exact.
+
+Spatial pruning (v2): the map slot array is leaf-key sorted (voxel_map),
+so ROW_BLOCK-row blocks are key-contiguous, spatially tight slabs. Queries
+are Morton-sorted so each TQ-query tile is a compact cloud, and per
+(tile, row-group) start/count loop bounds are precomputed in XLA from
+tile-AABB-to-block-AABB distances: blocks farther than `prune_radius`
+(the matcher's max_neighbors_distance gate — any neighbor beyond it is
+rejected anyway, KeypointsMatcher.cxx:217) are never scanned. Box distance
+lower-bounds point distance, so pruning is conservative-exact for every
+gated match.
 
 Two VMEM-bandwidth tricks keep the kernel compute-bound:
 - (distance, row) are packed into ONE int32 per bucket — the low
@@ -28,8 +40,9 @@ Two VMEM-bandwidth tricks keep the kernel compute-bound:
 
 Maps larger than one VMEM-resident tile (ROW_GROUP=256 rows = 3 MB of
 coords) are streamed as a second sequential grid dimension: each row group
-is DMA'd in turn and min-merged into the same (TQ, L) output block
-(revisited-output accumulation; TPU grids execute sequentially).
+is DMA'd in turn and min-merged into a persistent VMEM scratch
+accumulator; extraction runs on the last group (TPU grids execute
+sequentially, minor dimension fastest).
 
 Replaces: nanoflann kd-tree queries (ref KDTreePCLAdaptor.h:46-114) on the
 matcher/overlap hot path (ref KeypointsMatcher.cxx:60-70,
@@ -43,6 +56,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 TQ = 64          # queries per grid step; with TQ=128 the (TQ, RB, L)
                  # loop temps overflow the 16 MB scoped VMEM once the
@@ -50,36 +64,45 @@ TQ = 64          # queries per grid step; with TQ=128 the (TQ, RB, L)
 LANES = 1024     # bucket count = minor dim of the reshaped map
 ROW_BLOCK = 8    # map rows reduced per carry update (sublane-aligned:
                  # Mosaic requires the row-slice offset to be a provable
-                 # multiple of 8)
+                 # multiple of 8 — hence block-unit loop bounds * 8)
 ROW_GROUP = 256  # map rows resident in VMEM per grid step (3 MB of coords)
 MAX_ROW_BITS = 11  # => max map capacity 2048 * LANES = 2,097,152 slots
+KP = 128         # output lane width holding the k extracted results
+SENTINEL = 0x7FFFFFFF  # python int: a module-level jnp scalar would be
+                       # captured as a pallas closure constant
 BIG = jnp.float32(1e9)  # coordinate sentinel for invalid slots (d2 ~ 3e18)
 
 
-def _knn_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, best_ref,
-                *, rg: int, row_mask: int):
-    """One query tile vs one map row group: packed running min over rows.
+def _knn_kernel(lo_ref, nb_ref, qx_ref, qy_ref, qz_ref, px_ref, py_ref,
+                pz_ref, vals_ref, lanes_ref, acc_ref,
+                *, rg: int, row_mask: int, k: int, n_groups: int):
+    """One query tile vs one map row group: packed running min over the
+    tile's [lo, lo+nb) row blocks, then exact top-k extraction on the last
+    group.
 
     qx/qy/qz: (TQ, 1) query coords.  px/py/pz: (rg, L) map coords, row-major
-    reshape of the flat slot array (slot = r*L + lane).  Output (TQ, L)
-    int32: min packed (distance-bits | global row) per bucket, min-merged
-    across the row-group grid dimension.
+    reshape of the flat slot array (slot = r*L + lane).  lo/nb: (T, G) SMEM
+    per-(tile, group) block ranges.  Outputs (TQ, KP) int32: the k smallest
+    packed (distance-bits | global row) values and their bucket lanes.
     """
+    i = pl.program_id(0)
     g = pl.program_id(1)
 
     @pl.when(g == 0)
     def _init():
-        best_ref[...] = jnp.full((TQ, LANES), jnp.int32(0x7FFFFFFF))
+        acc_ref[...] = jnp.full((TQ, LANES), SENTINEL, jnp.int32)
 
     qx = qx_ref[...][:, :, None]   # (TQ, 1, 1)
     qy = qy_ref[...][:, :, None]
     qz = qz_ref[...][:, :, None]
-    n_blocks = rg // ROW_BLOCK
     row0 = g * rg
+    lo = lo_ref[i, g]
+    nb = nb_ref[i, g]
     rb_iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, ROW_BLOCK, LANES), 1)
 
     def body(b, best):
-        r0 = b * ROW_BLOCK
+        # r0 = (lo + b) * 8: a provable multiple of 8 for the sublane slice
+        r0 = (lo + b) * ROW_BLOCK
         px = px_ref[pl.ds(r0, ROW_BLOCK), :][None]   # (1, RB, L)
         py = py_ref[pl.ds(r0, ROW_BLOCK), :][None]
         pz = pz_ref[pl.ds(r0, ROW_BLOCK), :][None]
@@ -90,20 +113,71 @@ def _knn_kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, best_ref,
         # d2 >= 0, so its IEEE bits are a non-negative, order-preserving
         # int32 (Mosaic has no unsigned reductions)
         bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
-        packed = (bits & jnp.int32(~row_mask)) | (rb_iota + jnp.int32(row0 + r0))
+        packed = (bits & jnp.int32(~row_mask)) | (rb_iota + jnp.int32(row0) + r0)
         return jnp.minimum(best, jnp.min(packed, axis=1))
 
-    init = best_ref[...]
-    best_ref[...] = jax.lax.fori_loop(0, n_blocks, body, init)
+    acc_ref[...] = jax.lax.fori_loop(0, nb, body, acc_ref[...])
+
+    @pl.when(g == n_groups - 1)
+    def _extract():
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, LANES), 1)
+        kp_iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, KP), 1)
+
+        def ext(j, carry):
+            best, vals, lanes = carry
+            m = jnp.min(best, axis=1, keepdims=True)            # (TQ, 1)
+            is_m = best == m
+            lane = jnp.min(jnp.where(is_m, lane_iota, LANES), axis=1,
+                           keepdims=True)
+            vals = jnp.where(kp_iota == j, m, vals)
+            lanes = jnp.where(kp_iota == j, lane, lanes)
+            # clear only the selected bucket: equal-distance slots in other
+            # buckets stay eligible for the next extraction round
+            best = jnp.where(is_m & (lane_iota == lane), SENTINEL, best)
+            return best, vals, lanes
+
+        init = (acc_ref[...], jnp.full((TQ, KP), SENTINEL, jnp.int32),
+                jnp.zeros((TQ, KP), jnp.int32))
+        _, vals, lanes = jax.lax.fori_loop(0, k, ext, init)
+        vals_ref[...] = vals
+        lanes_ref[...] = lanes
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def bucketed_knn(xyz, valid, queries, k: int, interpret: bool = False):
+def _morton10(x):
+    """Spread the low 10 bits of x over every 3rd bit (Morton interleave)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & jnp.int32(0x30000FF)
+    x = (x | (x << 8)) & jnp.int32(0x300F00F)
+    x = (x | (x << 4)) & jnp.int32(0x30C30C3)
+    x = (x | (x << 2)) & jnp.int32(0x9249249)
+    return x
+
+
+def _spatial_order(queries, cell: float):
+    """Morton order of the query cloud at `cell` granularity."""
+    qmin = jnp.min(queries, axis=0)
+    q = jnp.clip(((queries - qmin) / cell).astype(jnp.int32), 0, 1023)
+    code = (_morton10(q[:, 0]) | (_morton10(q[:, 1]) << 1)
+            | (_morton10(q[:, 2]) << 2))
+    return jnp.argsort(code)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "prune_radius", "interpret"))
+def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
+                 interpret: bool = False):
     """k nearest valid map slots per query.
 
     Same contract as `voxel_map.brute_knn`: returns (sq_dists (Q, k)
     ascending with +inf for missing neighbors, slot rows (Q, k)).
+
+    `prune_radius`: when set, row blocks whose AABB is farther than this
+    from a query tile's AABB are skipped. Only neighbors within the radius
+    are then guaranteed; pass the matcher gate (max_neighbors_distance) so
+    every surviving match is unaffected.
     """
+    if k > KP:
+        raise ValueError(f"k={k} exceeds the kernel output width {KP}")
     M = xyz.shape[0]
     Q = queries.shape[0]
     RM = -(-max(M, 1) // LANES)
@@ -115,10 +189,12 @@ def bucketed_knn(xyz, valid, queries, k: int, interpret: bool = False):
     rg = min(RM, ROW_GROUP)
     RM = -(-RM // rg) * rg
     n_groups = RM // rg
+    nbg = rg // ROW_BLOCK            # row blocks per group
     row_bits = max(8, (RM - 1).bit_length())
     row_mask = (1 << row_bits) - 1
     Mp = RM * LANES
     Qp = -(-Q // TQ) * TQ
+    T = Qp // TQ
 
     # invalid / padding slots get a BIG coordinate -> huge but finite d2
     def coord(c):
@@ -126,13 +202,52 @@ def bucketed_knn(xyz, valid, queries, k: int, interpret: bool = False):
         return jnp.pad(p, (0, Mp - M), constant_values=BIG).reshape(RM, LANES)
 
     px, py, pz = coord(0), coord(1), coord(2)
-    q = jnp.pad(queries, ((0, Qp - Q), (0, 0)))
+
+    order = inv = None
+    if prune_radius is not None and Q > TQ:
+        order = _spatial_order(queries, cell=max(float(prune_radius), 1e-3))
+        inv = jnp.argsort(order)
+        queries = queries[order]
+    # edge-pad so the last tile's AABB is not inflated toward the origin
+    q = queries if Qp == Q else jnp.concatenate(
+        [queries, jnp.broadcast_to(queries[-1:], (Qp - Q, 3))])
     qx, qy, qz = (q[:, 0:1], q[:, 1:2], q[:, 2:3])
 
-    best = pl.pallas_call(
-        functools.partial(_knn_kernel, rg=rg, row_mask=row_mask),
-        grid=(Qp // TQ, n_groups),
+    if prune_radius is None:
+        lo = jnp.zeros((T, n_groups), jnp.int32)
+        nb = jnp.full((T, n_groups), nbg, jnp.int32)
+    else:
+        # tile AABBs over the Morton-sorted queries
+        qt = q.reshape(T, TQ, 3)
+        tmin = jnp.min(qt, axis=1)               # (T, 3)
+        tmax = jnp.max(qt, axis=1)
+        # block AABBs over valid slots only (empty blocks -> +inf/-inf)
+        def bminmax(sign):
+            p = jnp.where(valid[:, None], xyz, sign * jnp.inf)
+            p = jnp.pad(p, ((0, Mp - M), (0, 0)),
+                        constant_values=sign * jnp.inf)
+            p = p.reshape(RM // ROW_BLOCK, ROW_BLOCK * LANES, 3)
+            return jnp.min(p, axis=1) if sign > 0 else jnp.max(p, axis=1)
+        bmin = bminmax(+1)                       # (NB, 3)
+        bmax = bminmax(-1)
+        d = jnp.maximum(bmin[None] - tmax[:, None], tmin[:, None] - bmax[None])
+        d = jnp.maximum(d, 0.0)
+        boxd2 = jnp.sum(d * d, axis=-1)          # (T, NB)
+        hit = boxd2 <= jnp.float32(prune_radius) ** 2
+        hit = hit.reshape(T, n_groups, nbg)
+        any_hit = jnp.any(hit, axis=2)
+        first = jnp.argmax(hit, axis=2).astype(jnp.int32)
+        last = (nbg - 1 - jnp.argmax(hit[:, :, ::-1], axis=2)).astype(jnp.int32)
+        lo = jnp.where(any_hit, first, 0)
+        nb = jnp.where(any_hit, last - first + 1, 0)
+
+    vals, lanes = pl.pallas_call(
+        functools.partial(_knn_kernel, rg=rg, row_mask=row_mask, k=k,
+                          n_groups=n_groups),
+        grid=(T, n_groups),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TQ, 1), lambda i, g: (i, 0)),
             pl.BlockSpec((TQ, 1), lambda i, g: (i, 0)),
             pl.BlockSpec((TQ, 1), lambda i, g: (i, 0)),
@@ -140,27 +255,31 @@ def bucketed_knn(xyz, valid, queries, k: int, interpret: bool = False):
             pl.BlockSpec((rg, LANES), lambda i, g: (g, 0)),
             pl.BlockSpec((rg, LANES), lambda i, g: (g, 0)),
         ],
-        out_specs=pl.BlockSpec((TQ, LANES), lambda i, g: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((Qp, LANES), jnp.int32),
+        out_specs=(pl.BlockSpec((TQ, KP), lambda i, g: (i, 0)),
+                   pl.BlockSpec((TQ, KP), lambda i, g: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((Qp, KP), jnp.int32),
+                   jax.ShapeDtypeStruct((Qp, KP), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((TQ, LANES), jnp.int32)],
         interpret=interpret,
-    )(qx, qy, qz, px, py, pz)
-    best = best[:Q]
+    )(lo, nb, qx, qy, qz, px, py, pz)
+    vals = vals[:Q, :k]
+    lanes = lanes[:Q, :k]
 
-    # top-k over the L bucket minima via the native PartialReduce — an exact
-    # lax.top_k here costs MORE than the kernel itself (1.15 ms vs 0.74 ms on
-    # (2048, 1024), see docs/PERFORMANCE.md). Selecting on the PACKED value
-    # keeps the row id in the low mantissa bits of the returned values, so no
-    # take_along_axis gather is needed either. (Packed bits are valid f32:
-    # every bucket holds a finite d2 — real point or the BIG sentinel.)
-    packed_f = jax.lax.bitcast_convert_type(best, jnp.float32)
-    vals, lane = jax.lax.approx_min_k(packed_f, k, recall_target=0.99)
-    bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
-    row = bits & jnp.int32(row_mask)
-    idx = jnp.minimum(row * LANES + lane, M - 1)
+    row = vals & jnp.int32(row_mask)
+    idx = jnp.minimum(row * LANES + lanes, M - 1)
+    # SENTINEL survives when a bucket was never scanned (pruned tile) or
+    # k exceeds the populated buckets; its distance bits decode to NaN, so
+    # mask it explicitly
+    missing = vals == SENTINEL
     # exact distances of the selected slots (the packed value dropped the low
     # mantissa bits); missing neighbors keep the +inf convention
-    approx_d2 = jax.lax.bitcast_convert_type(bits & jnp.int32(~row_mask),
+    approx_d2 = jax.lax.bitcast_convert_type(vals & jnp.int32(~row_mask),
                                              jnp.float32)
+    if inv is not None:
+        idx = idx[inv]
+        approx_d2 = approx_d2[inv]
+        missing = missing[inv]
+        queries = queries[inv]
     d2 = jnp.sum((queries[:, None, :] - xyz[idx]) ** 2, axis=-1)
-    d2 = jnp.where(approx_d2 > 1e17, jnp.inf, d2)
+    d2 = jnp.where(missing | (approx_d2 > 1e17), jnp.inf, d2)
     return d2, idx.astype(jnp.int32)

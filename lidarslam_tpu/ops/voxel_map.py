@@ -401,13 +401,16 @@ class SubmapView(NamedTuple):
 
 
 def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192,
-              recall_target: float = 0.99, use_pallas: bool | None = None):
+              recall_target: float = 0.99, use_pallas: bool | None = None,
+              prune_radius: float | None = None):
     """k nearest valid points per query (exact distances, per-chunk selection
     via the TPU-optimized `approx_max_k` PartialReduce at `recall_target`;
     pass 1.0 for the fully exact `top_k` path).
 
     On a real TPU backend the fused Pallas kernel (pallas_knn.py) is used
     instead: same contract, ~250x less HBM traffic, comparable recall.
+    `prune_radius` (Pallas path only): skip map blocks farther than this
+    from each query tile — pass the caller's neighbor-distance gate.
 
     Returns (sq_dists (Q, k) ascending with +inf for missing, rows (Q, k))."""
     M = view.xyz.shape[0]
@@ -416,7 +419,8 @@ def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192,
                       and k <= 64 and M <= (1 << 11) * 1024)
     if use_pallas:
         from lidarslam_tpu.ops import pallas_knn
-        return pallas_knn.bucketed_knn(view.xyz, view.valid, queries, k)
+        return pallas_knn.bucketed_knn(view.xyz, view.valid, queries, k,
+                                       prune_radius=prune_radius)
     Q = queries.shape[0]
     qx, qy, qz = queries[:, 0:1], queries[:, 1:2], queries[:, 2:3]
     chunk = min(chunk, M)

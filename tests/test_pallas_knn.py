@@ -113,3 +113,56 @@ def test_multi_row_group_large_map():
     assert valid[idx].all()
     # returned rows must span both halves of the map (both row groups)
     assert (idx < M // 2).any() and (idx >= M // 2).any()
+
+
+def test_pruned_matches_unpruned_within_radius():
+    """AABB pruning: neighbors within the radius are identical to the
+    unpruned scan; beyond-radius queries degrade only to +inf."""
+    rng = np.random.default_rng(7)
+    # a key-sorted map (spatially coherent slot order, like the real map)
+    xyz = rng.uniform(-60, 60, (30000, 3)).astype(np.float32)
+    order = np.lexsort((xyz[:, 2] // 1, xyz[:, 1] // 1, xyz[:, 0] // 1))
+    xyz = xyz[order]
+    valid = rng.uniform(size=len(xyz)) < 0.8
+    queries = rng.uniform(-60, 60, (500, 3)).astype(np.float32)
+    k, r = 8, 5.0
+
+    d2p, idxp = pallas_knn.bucketed_knn(
+        jnp.asarray(xyz), jnp.asarray(valid), jnp.asarray(queries), k,
+        prune_radius=r, interpret=True)
+    d2u, idxu = pallas_knn.bucketed_knn(
+        jnp.asarray(xyz), jnp.asarray(valid), jnp.asarray(queries), k,
+        interpret=True)
+    d2p, idxp = np.asarray(d2p), np.asarray(idxp)
+    d2u, idxu = np.asarray(d2u), np.asarray(idxu)
+    inside = np.isfinite(d2u) & (d2u <= r * r)
+    # every within-radius neighbor of the unpruned scan survives pruning
+    np.testing.assert_allclose(np.where(inside, d2u, 0.0),
+                               np.where(inside, d2p, 0.0), rtol=1e-4)
+    assert (idxp[inside] == idxu[inside]).all()
+    assert valid[idxp[np.isfinite(d2p)]].all()
+    assert (np.diff(d2p, axis=1) >= -1e-3).all()
+
+
+def test_pruned_empty_region_all_inf():
+    # queries far from every map point: every block pruned -> all +inf
+    rng = np.random.default_rng(8)
+    xyz = rng.uniform(-10, 10, (5000, 3)).astype(np.float32)
+    valid = np.ones(5000, bool)
+    queries = rng.uniform(500, 520, (130, 3)).astype(np.float32)
+    d2, _ = pallas_knn.bucketed_knn(jnp.asarray(xyz), jnp.asarray(valid),
+                                    jnp.asarray(queries), 6, prune_radius=5.0,
+                                    interpret=True)
+    assert np.isinf(np.asarray(d2)).all()
+
+
+def test_exact_topk_extraction_beats_recall():
+    # in-kernel exact extraction over the bucket minima: recall should be
+    # >= the approx_min_k path it replaced (0.97 bound) on a dense map
+    xyz, valid, queries = _setup(m=50000, q=300, seed=11)
+    k = 10
+    d2, idx = pallas_knn.bucketed_knn(xyz, valid, queries, k, interpret=True)
+    ed2, eidx = _exact(xyz, valid, queries, k)
+    idx, eidx = np.asarray(idx), np.asarray(eidx)
+    hits = sum(len(set(idx[i]) & set(eidx[i])) for i in range(len(idx)))
+    assert hits / idx.size > 0.97
