@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--no-stream", dest="stream", action="store_false",
                     help="synchronous per-frame API instead of streaming")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--no-profile", dest="profile", action="store_false",
+                    default=True,
+                    help="skip the post-bench device-busy trace")
+    ap.add_argument("--profile-frames", type=int, default=8,
+                    help="frames traced for the device-busy measurement")
     args = ap.parse_args()
 
     import jax
@@ -54,9 +59,11 @@ def main():
     )
 
     n_total = args.warmup + args.frames
+    nprof = args.profile_frames if args.profile else 0
     sensor = synthetic.SensorModel(n_rings=args.rings, n_azimuth=args.azimuth)
     t0 = time.perf_counter()
-    frames = synthetic.generate_sequence(n_frames=n_total, sensor=sensor,
+    # the trailing nprof frames continue the sequence for the traced window
+    frames = synthetic.generate_sequence(n_frames=n_total + nprof, sensor=sensor,
                                          motion_distortion=False)
     if args.verbose:
         print(f"# rendered {n_total} sweeps "
@@ -103,12 +110,36 @@ def main():
               f"p95 {np.percentile(d,95):.1f}", file=sys.stderr)
         print(f"# backend: {jax.default_backend()}", file=sys.stderr)
 
-    print(json.dumps({
+    record = {
         "metric": "scans_per_sec",
         "value": round(scans_per_sec, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / 10.0, 3),
-    }))
+    }
+
+    # device-busy fraction: trace a short continuation window and sum the
+    # trace's "XLA Modules" occupancy (utils/profiling.py). The fraction is
+    # taken against the UNTRACED steady-state wall (tracing itself inflates
+    # host time); busy/wall < 1 means the chip idles on host work/transfers.
+    if args.profile:
+        try:
+            import tempfile
+            from lidarslam_tpu.utils import profiling
+            logdir = tempfile.mkdtemp(prefix="lst_bench_prof_")
+            with jax.profiler.trace(logdir):
+                for f in frames[n_total:]:
+                    slam.add_frame_async(f)
+                slam.flush()
+            xp = profiling.find_xplane(logdir)
+            busy = profiling.device_busy_ms(xp) if xp is not None else 0.0
+            if busy > 0.0:   # CPU runs have no TPU/Device plane
+                record["device_busy_ms_per_frame"] = round(busy / nprof, 2)
+                record["device_busy_frac"] = round(
+                    (busy / nprof) / (1000.0 * wall / args.frames), 3)
+        except Exception as e:  # never let profiling break the bench line
+            print(f"# profiling skipped: {e}", file=sys.stderr)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -49,6 +49,17 @@ class Matches(NamedTuple):
         return jnp.sum(self.valid)
 
 
+def _sym3(a00, a01, a02, a11, a12, a22):
+    """Assemble (Q, 3, 3) symmetric matrices from six entry planes. The one
+    place the matcher materializes a (Q, 3, 3) array — everything upstream
+    stays SoA so XLA fuses it into the elementwise chain (no bf16 batched
+    matmuls or T(4,128) layout copies; see core/pca.py docstring)."""
+    row0 = jnp.stack([a00, a01, a02], axis=-1)
+    row1 = jnp.stack([a01, a11, a12], axis=-1)
+    row2 = jnp.stack([a02, a12, a22], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
 def _finish(A, P, X, weight, ok, status):
     status = jnp.where(ok, MatchStatus.SUCCESS, status).astype(jnp.uint8)
     z = ok[:, None]
@@ -103,14 +114,16 @@ def match_planes(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConf
     # farthest of the k must be close enough (KeypointsMatcher.cxx:217)
     near = jnp.where(found, d2, 0.0).max(axis=1) <= params.max_neighbors_distance**2
 
-    mean, cov, _ = pca.masked_mean_and_cov(nbr, found)
-    lam, V = pca.eigh_3x3(cov)
-    planar = lam[:, 1] >= params.planarity_threshold * jnp.maximum(lam[:, 2], 1e-30)
-    normal = V[:, :, 0]
-    A = normal[:, :, None] * normal[:, None, :]
-    mse = lam[:, 0]
+    # SoA PCA: no (Q, 3, 3) cov/eigvec intermediates (see core/pca.py)
+    mean, c6, _ = pca.masked_cov6(nbr, found)
+    (l0, l1, l2), (n, _, _) = pca.eigh6(c6)
+    planar = l1 >= params.planarity_threshold * jnp.maximum(l2, 1e-30)
+    A = _sym3(n[0] * n[0], n[0] * n[1], n[0] * n[2],
+              n[1] * n[1], n[1] * n[2], n[2] * n[2])
+    mse = l0
     mse_ok = mse < params.plane_max_model_error**2
-    finite = jnp.all(jnp.isfinite(A), axis=(1, 2)) & (lam[:, 2] > 1e-20)
+    finite = (jnp.isfinite(n[0]) & jnp.isfinite(n[1]) & jnp.isfinite(n[2])
+              & (l2 > 1e-20))
 
     ok = enough & near & planar & mse_ok & finite
     weight = jnp.where(mse <= 1e-6, 1.0, 1.0 - jnp.sqrt(jnp.maximum(mse, 0.0)) / params.plane_max_model_error)
@@ -137,13 +150,14 @@ def match_edges(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfi
     far_sel = jnp.where(sel, d2, 0.0).max(axis=1)
     near = far_sel <= params.max_neighbors_distance**2
 
-    mean, cov, _ = pca.masked_mean_and_cov(nbr, sel)
-    lam, V = pca.eigh_3x3(cov)
-    n = V[:, :, 2]                              # line direction
-    A = jnp.eye(3) - n[:, :, None] * n[:, None, :]
-    mse = lam[:, 0] + lam[:, 1]
+    mean, c6, _ = pca.masked_cov6(nbr, sel)
+    (l0, l1, l2), (_, _, n) = pca.eigh6(c6)     # n = line direction
+    A = _sym3(1.0 - n[0] * n[0], -n[0] * n[1], -n[0] * n[2],
+              1.0 - n[1] * n[1], -n[1] * n[2], 1.0 - n[2] * n[2])
+    mse = l0 + l1
     mse_ok = mse < params.edge_max_model_error**2
-    finite = jnp.all(jnp.isfinite(A), axis=(1, 2)) & (lam[:, 2] > 1e-20)
+    finite = (jnp.isfinite(n[0]) & jnp.isfinite(n[1]) & jnp.isfinite(n[2])
+              & (l2 > 1e-20))
 
     ok = enough & near & mse_ok & finite
     weight = jnp.where(mse <= 1e-6, 1.0, 1.0 - jnp.sqrt(jnp.maximum(mse, 0.0)) / params.edge_max_model_error)
@@ -162,16 +176,24 @@ def match_blobs(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfi
     enough = kp_valid & (n_found >= k)
     near = jnp.where(found, d2, 0.0).max(axis=1) <= params.max_neighbors_distance**2
 
-    mean, cov, _ = pca.masked_mean_and_cov(nbr, found)
-    lam, V = pca.eigh_3x3(cov)
-    pca_ok = lam[:, 0] > 1e-12
+    mean, c6, _ = pca.masked_cov6(nbr, found)
+    lams, vecs = pca.eigh6(c6)
+    pca_ok = lams[0] > 1e-12
     # Floor the ellipsoid sigma (see MatchingConfig.blob_min_sigma): sparse
     # single-arc neighborhoods otherwise produce near-singular covariances
     # whose Mahalanobis weights drown the edge/plane constraints.
     lam_floor = jnp.float32(params.blob_min_sigma**2)
-    inv_sqrt = jax.lax.rsqrt(jnp.maximum(lam, lam_floor))
-    A = jnp.einsum("qij,qj,qkj->qik", V, inv_sqrt, V)
-    finite = jnp.all(jnp.isfinite(A), axis=(1, 2))
+    # A = sum_j rsqrt(max(l_j, floor)) v_j v_j^T, assembled entrywise
+    s = [jax.lax.rsqrt(jnp.maximum(l, lam_floor)) for l in lams]
+    a00 = sum(s[j] * vecs[j][0] * vecs[j][0] for j in range(3))
+    a01 = sum(s[j] * vecs[j][0] * vecs[j][1] for j in range(3))
+    a02 = sum(s[j] * vecs[j][0] * vecs[j][2] for j in range(3))
+    a11 = sum(s[j] * vecs[j][1] * vecs[j][1] for j in range(3))
+    a12 = sum(s[j] * vecs[j][1] * vecs[j][2] for j in range(3))
+    a22 = sum(s[j] * vecs[j][2] * vecs[j][2] for j in range(3))
+    A = _sym3(a00, a01, a02, a11, a12, a22)
+    finite = (jnp.isfinite(a00) & jnp.isfinite(a01) & jnp.isfinite(a02)
+              & jnp.isfinite(a11) & jnp.isfinite(a12) & jnp.isfinite(a22))
 
     ok = enough & near & pca_ok & finite
     weight = jnp.ones_like(d2[:, 0])

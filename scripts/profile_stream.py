@@ -17,52 +17,27 @@ so both must be excluded or everything double-counts.
 """
 
 import argparse
-import collections
-import glob
 import os
 import sys
 import tempfile
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-_WRAPPERS = ("while", "cond", "copy-start", "copy-done")
+from lidarslam_tpu.utils import profiling  # noqa: E402
 
 
 def report(xplane_path, n_frames, top):
-    import jax
-
-    pd = jax.profiler.ProfileData.from_file(xplane_path)
-    for plane in pd.planes:
-        if "TPU" not in plane.name and "Device" not in plane.name:
-            continue
-        for line in plane.lines:
-            if line.name == "XLA Modules":
-                tot = sum(ev.duration_ns / 1e6 for ev in line.events)
-                print(f"# device busy: {tot/n_frames:.2f} ms/frame "
-                      f"({tot:.0f} ms over {n_frames} frames)")
-            if line.name != "XLA Ops":
-                continue
-            dur = collections.Counter()
-            cnt = collections.Counter()
-            cat = collections.Counter()
-            meta = {}
-            for ev in line.events:
-                name = ev.name.split(" = ")[0]
-                kind = name.lstrip("%").rstrip("0123456789.").rstrip(".")
-                if kind in _WRAPPERS:
-                    continue
-                d = ev.duration_ns / 1e6
-                cat[kind] += d
-                dur[name] += d
-                cnt[name] += 1
-                meta.setdefault(name, ev.name[:110])
-            print("## op categories, ms/frame")
-            for n, ms in cat.most_common(12):
-                print(f"  {n:32s} {ms/n_frames:8.2f}")
-            print(f"## top ops  ({'op':22s} {'ms/fr':>6s} {'x/fr':>5s} {'us':>7s})")
-            for n, ms in dur.most_common(top):
-                print(f"  {n:24s} {ms/n_frames:6.3f} x{cnt[n]/n_frames:4.1f} "
-                      f"{1000*ms/cnt[n]:7.1f} | {meta[n][:70]}")
+    tot = profiling.device_busy_ms(xplane_path)
+    print(f"# device busy: {tot/n_frames:.2f} ms/frame "
+          f"({tot:.0f} ms over {n_frames} frames)")
+    dur, cnt, cat, meta = profiling.op_totals(xplane_path)
+    print("## op categories, ms/frame")
+    for n, ms in cat.most_common(12):
+        print(f"  {n:32s} {ms/n_frames:8.2f}")
+    print(f"## top ops  ({'op':22s} {'ms/fr':>6s} {'x/fr':>5s} {'us':>7s})")
+    for n, ms in dur.most_common(top):
+        print(f"  {n:24s} {ms/n_frames:6.3f} x{cnt[n]/n_frames:4.1f} "
+              f"{1000*ms/cnt[n]:7.1f} | {meta[n][:70]}")
 
 
 def main():
@@ -115,12 +90,12 @@ def main():
             slam.add_frame_async(frames[i])
         slam.flush()
 
-    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
-    if not paths:
+    path = profiling.find_xplane(logdir)
+    if path is None:
         print("no xplane produced", file=sys.stderr)
         return
-    print(f"# xplane: {paths[0]}")
-    report(paths[0], args.frames, args.top)
+    print(f"# xplane: {path}")
+    report(path, args.frames, args.top)
 
 
 if __name__ == "__main__":
