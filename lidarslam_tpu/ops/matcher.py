@@ -35,9 +35,17 @@ from lidarslam_tpu.ops.voxel_map import SubmapView, brute_knn
 
 
 class Matches(NamedTuple):
-    """Per-keypoint match parameters (slots align with the keypoint arrays)."""
+    """Per-keypoint match parameters (slots align with the keypoint arrays).
 
-    A: jax.Array        # (Q, 3, 3) Mahalanobis square-root information
+    The Mahalanobis square-root information matrix A (symmetric for all
+    three match models: n n^T, I - d d^T, V s V^T) is stored
+    structure-of-arrays as its six unique entries in (6, Q) layout — on TPU
+    a (Q, 3, 3) array tiles to T(4,128) (42x padding waste) and every
+    einsum against it lowers to a bf16 batched matmul bracketed by layout
+    copies (~2.2 ms/frame at 64-beam scale, measured). The solver consumes
+    the planes directly; use the `A` property for (Q, 3, 3) debug views."""
+
+    A6: jax.Array       # (6, Q) symmetric A entries [a00,a01,a02,a11,a12,a22]
     P: jax.Array        # (Q, 3) model position (neighborhood mean)
     X: jax.Array        # (Q, 3) keypoint in BASE coordinates
     weight: jax.Array   # (Q,) fit-quality weight
@@ -48,23 +56,33 @@ class Matches(NamedTuple):
     def n_matches(self):
         return jnp.sum(self.valid)
 
+    @property
+    def A(self):
+        """(Q, 3, 3) dense view of A6 (tests / debug export only)."""
+        a00, a01, a02, a11, a12, a22 = self.A6
+        row0 = jnp.stack([a00, a01, a02], axis=-1)
+        row1 = jnp.stack([a01, a11, a12], axis=-1)
+        row2 = jnp.stack([a02, a12, a22], axis=-1)
+        return jnp.stack([row0, row1, row2], axis=-2)
 
-def _sym3(a00, a01, a02, a11, a12, a22):
-    """Assemble (Q, 3, 3) symmetric matrices from six entry planes. The one
-    place the matcher materializes a (Q, 3, 3) array — everything upstream
-    stays SoA so XLA fuses it into the elementwise chain (no bf16 batched
-    matmuls or T(4,128) layout copies; see core/pca.py docstring)."""
-    row0 = jnp.stack([a00, a01, a02], axis=-1)
-    row1 = jnp.stack([a01, a11, a12], axis=-1)
-    row2 = jnp.stack([a02, a12, a22], axis=-1)
-    return jnp.stack([row0, row1, row2], axis=-2)
+    @classmethod
+    def from_dense(cls, A, **kw):
+        """Construct from a dense (Q, 3, 3) symmetric A (test convenience)."""
+        A = jnp.asarray(A)
+        return cls(A6=jnp.stack([A[:, 0, 0], A[:, 0, 1], A[:, 0, 2],
+                                 A[:, 1, 1], A[:, 1, 2], A[:, 2, 2]]), **kw)
 
 
-def _finish(A, P, X, weight, ok, status):
+def _a6(a00, a01, a02, a11, a12, a22):
+    """Stack six symmetric-entry planes into the (6, Q) A6 layout."""
+    return jnp.stack([a00, a01, a02, a11, a12, a22], axis=0)
+
+
+def _finish(A6, P, X, weight, ok, status):
     status = jnp.where(ok, MatchStatus.SUCCESS, status).astype(jnp.uint8)
     z = ok[:, None]
     return Matches(
-        A=jnp.where(ok[:, None, None], A, 0.0),
+        A6=jnp.where(ok[None, :], A6, 0.0),
         P=jnp.where(z, P, 0.0),
         X=X,
         weight=jnp.where(ok, weight, 0.0),
@@ -118,8 +136,8 @@ def match_planes(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConf
     mean, c6, _ = pca.masked_cov6(nbr, found)
     (l0, l1, l2), (n, _, _) = pca.eigh6(c6)
     planar = l1 >= params.planarity_threshold * jnp.maximum(l2, 1e-30)
-    A = _sym3(n[0] * n[0], n[0] * n[1], n[0] * n[2],
-              n[1] * n[1], n[1] * n[2], n[2] * n[2])
+    A = _a6(n[0] * n[0], n[0] * n[1], n[0] * n[2],
+            n[1] * n[1], n[1] * n[2], n[2] * n[2])
     mse = l0
     mse_ok = mse < params.plane_max_model_error**2
     finite = (jnp.isfinite(n[0]) & jnp.isfinite(n[1]) & jnp.isfinite(n[2])
@@ -152,8 +170,8 @@ def match_edges(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfi
 
     mean, c6, _ = pca.masked_cov6(nbr, sel)
     (l0, l1, l2), (_, _, n) = pca.eigh6(c6)     # n = line direction
-    A = _sym3(1.0 - n[0] * n[0], -n[0] * n[1], -n[0] * n[2],
-              1.0 - n[1] * n[1], -n[1] * n[2], 1.0 - n[2] * n[2])
+    A = _a6(1.0 - n[0] * n[0], -n[0] * n[1], -n[0] * n[2],
+            1.0 - n[1] * n[1], -n[1] * n[2], 1.0 - n[2] * n[2])
     mse = l0 + l1
     mse_ok = mse < params.edge_max_model_error**2
     finite = (jnp.isfinite(n[0]) & jnp.isfinite(n[1]) & jnp.isfinite(n[2])
@@ -191,7 +209,7 @@ def match_blobs(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfi
     a11 = sum(s[j] * vecs[j][1] * vecs[j][1] for j in range(3))
     a12 = sum(s[j] * vecs[j][1] * vecs[j][2] for j in range(3))
     a22 = sum(s[j] * vecs[j][2] * vecs[j][2] for j in range(3))
-    A = _sym3(a00, a01, a02, a11, a12, a22)
+    A = _a6(a00, a01, a02, a11, a12, a22)
     finite = (jnp.isfinite(a00) & jnp.isfinite(a01) & jnp.isfinite(a02)
               & jnp.isfinite(a11) & jnp.isfinite(a12) & jnp.isfinite(a22))
 

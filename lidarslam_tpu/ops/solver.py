@@ -97,30 +97,64 @@ def _extra_terms(extras, pose):
     return cost, H, g
 
 
+def _apply_sym6(A6, vx, vy, vz):
+    """(A v) for symmetric A given as six (Q,) entry planes."""
+    a00, a01, a02, a11, a12, a22 = A6
+    return (a00 * vx + a01 * vy + a02 * vz,
+            a01 * vx + a11 * vy + a12 * vz,
+            a02 * vx + a12 * vy + a22 * vz)
+
+
 def _evaluate(blocks: Sequence[Matches], pose, saturation, axis_name=None, extras=()):
     """Robust cost, normal equations H (6,6) and gradient g (6,) at `pose`.
+
+    Fully structure-of-arrays: every per-match quantity is a (Q,) plane, so
+    the whole evaluation fuses into a handful of elementwise+reduce passes.
+    The previous (Q,3,6) Jacobian einsums lowered to bf16 batched matmuls
+    bracketed by T(4,128) layout copies — ~2.2 ms/frame at 64-beam scale
+    for what is arithmetically ~100 flops/match.
 
     With `axis_name`, the per-shard partial sums are `psum`-reduced over the
     mesh axis — this is the multi-chip reduction point: keypoints shard over
     devices, each chip contributes its 6x6/6 partials over ICI, and every
     chip then solves the same tiny system (SURVEY.md §2.2 P7/P8)."""
     R, t = se3.jpose_to_rt(pose)
-    dRr, dRp, dRy = rotation_derivatives(pose[3:6])
+    dRs = rotation_derivatives(pose[3:6])
     H = jnp.zeros((6, 6))
     g = jnp.zeros((6,))
     cost = jnp.zeros(())
     for m in blocks:
-        pred = m.X @ R.T + t
-        e = jnp.einsum("qij,qj->qi", m.A, pred - m.P)
-        s = jnp.sum(e * e, axis=-1)
+        xx, xy, xz = m.X[:, 0], m.X[:, 1], m.X[:, 2]
+        # d = R X + t - P, per component
+        dx = R[0, 0] * xx + R[0, 1] * xy + R[0, 2] * xz + t[0] - m.P[:, 0]
+        dy = R[1, 0] * xx + R[1, 1] * xy + R[1, 2] * xz + t[1] - m.P[:, 1]
+        dz = R[2, 0] * xx + R[2, 1] * xy + R[2, 2] * xz + t[2] - m.P[:, 2]
+        e = _apply_sym6(m.A6, dx, dy, dz)                  # 3 planes
+        s = e[0] * e[0] + e[1] * e[1] + e[2] * e[2]
         w = jnp.where(m.valid, m.weight, 0.0)
         irls = w * tukey_weight(s, saturation)
-        # J = A @ [I | dR/dparam X] -> (Q, 3, 6)
-        rot_cols = jnp.stack([m.X @ dRr.T, m.X @ dRp.T, m.X @ dRy.T], axis=-1)
-        Jr = jnp.einsum("qij,qjc->qic", m.A, rot_cols)
-        J = jnp.concatenate([jnp.broadcast_to(m.A, Jr.shape), Jr], axis=-1)
-        H = H + jnp.einsum("q,qai,qaj->ij", irls, J, J)
-        g = g + jnp.einsum("q,qai,qa->i", irls, J, e)
+        # J columns (each 3 planes): translation -> columns of symmetric A,
+        # rotation -> A (dR/dparam X)
+        a00, a01, a02, a11, a12, a22 = m.A6
+        cols = [(a00, a01, a02), (a01, a11, a12), (a02, a12, a22)]
+        for dR in dRs:
+            ux = dR[0, 0] * xx + dR[0, 1] * xy + dR[0, 2] * xz
+            uy = dR[1, 0] * xx + dR[1, 1] * xy + dR[1, 2] * xz
+            uz = dR[2, 0] * xx + dR[2, 1] * xy + dR[2, 2] * xz
+            cols.append(_apply_sym6(m.A6, ux, uy, uz))
+        # H = sum_q irls J^T J, g = sum_q irls J^T e — 21 + 6 fused
+        # multiply-reduce passes over (Q,) planes
+        Hb = [[None] * 6 for _ in range(6)]
+        gb = []
+        for c in range(6):
+            jc = cols[c]
+            for d in range(c, 6):
+                jd = cols[d]
+                Hb[c][d] = Hb[d][c] = jnp.sum(
+                    irls * (jc[0] * jd[0] + jc[1] * jd[1] + jc[2] * jd[2]))
+            gb.append(jnp.sum(irls * (jc[0] * e[0] + jc[1] * e[1] + jc[2] * e[2])))
+        H = H + jnp.stack([jnp.stack(row) for row in Hb])
+        g = g + jnp.stack(gb)
         cost = cost + jnp.sum(w * tukey_rho(s, saturation))
     if axis_name is not None:
         cost = jax.lax.psum(cost, axis_name)
@@ -148,8 +182,13 @@ def robust_lm(blocks: Sequence[Matches], pose0, saturation, cfg: SolverConfig,
     # iteration instead of one per type (the LM while body dominates the
     # streaming step; fewer, larger ops cut its fixed per-op cost).
     if len(blocks) > 1:
-        blocks = [Matches(*[jnp.concatenate(parts) for parts in
-                            zip(*[tuple(b) for b in blocks])])]
+        blocks = [Matches(
+            A6=jnp.concatenate([b.A6 for b in blocks], axis=1),
+            P=jnp.concatenate([b.P for b in blocks]),
+            X=jnp.concatenate([b.X for b in blocks]),
+            weight=jnp.concatenate([b.weight for b in blocks]),
+            status=jnp.concatenate([b.status for b in blocks]),
+            valid=jnp.concatenate([b.valid for b in blocks]))]
     # Pin the match blocks: without this barrier XLA sinks their producer
     # graph (k-NN gather + PCA + gates) into the LM while-loop body and
     # re-runs the entire matcher on every LM iteration (~30x per-frame cost,

@@ -168,7 +168,7 @@ def _synthetic_blocks(true_pose, n=300, outlier_frac=0.0):
     n_out = int(n * outlier_frac)
     if n_out:
         P[:n_out] += RNG.uniform(3, 6, (n_out, 3)) * np.sign(RNG.normal(size=(n_out, 3)))
-    return matcher.Matches(
+    return matcher.Matches.from_dense(
         A=jnp.asarray(A, jnp.float32), P=jnp.asarray(P, jnp.float32),
         X=jnp.asarray(X, jnp.float32), weight=jnp.ones(n, jnp.float32),
         status=jnp.zeros(n, jnp.uint8), valid=jnp.ones(n, bool))

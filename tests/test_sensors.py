@@ -52,7 +52,7 @@ def test_odometry_residual_constrains_distance():
     X = rng.uniform(-3, 3, (Q, 3)).astype(np.float32)
     P = (X + np.array([0.6, 0, 0])).astype(np.float32)  # plane wants tx=0.6
     from lidarslam_tpu.ops.matcher import Matches
-    blocks = [Matches(A=jnp.asarray(A), P=jnp.asarray(P), X=jnp.asarray(X),
+    blocks = [Matches.from_dense(A=jnp.asarray(A), P=jnp.asarray(P), X=jnp.asarray(X),
                       weight=jnp.ones(Q), status=jnp.zeros(Q, jnp.uint8),
                       valid=jnp.ones(Q, bool))]
     odo = OdomResidual(prev_pos=jnp.zeros(3), distance=jnp.float32(0.6),
@@ -68,7 +68,7 @@ def test_gravity_residual_constrains_roll_pitch():
     """Gravity alignment pulls roll/pitch toward the reference direction."""
     from lidarslam_tpu.ops.matcher import Matches
     # no point matches at all: pure gravity alignment from a tilted start
-    blocks = [Matches(A=jnp.zeros((4, 3, 3)), P=jnp.zeros((4, 3)), X=jnp.zeros((4, 3)),
+    blocks = [Matches.from_dense(A=jnp.zeros((4, 3, 3)), P=jnp.zeros((4, 3)), X=jnp.zeros((4, 3)),
                       weight=jnp.zeros(4), status=jnp.zeros(4, jnp.uint8),
                       valid=jnp.zeros(4, bool))]
     g = GravityResidual(g_ref=jnp.asarray([0.0, 0, -1]), g_cur=jnp.asarray([0.0, 0, -1]),
