@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lidarslam_tpu.config import MapConfig, SamplingMode
+from lidarslam_tpu.ops.prims import prefix_shift
 
 _BIGKEY = np.int32(2**31 - 1)
 
@@ -163,7 +164,8 @@ def add_points(
     first = key_ok & ~((skx == jnp.roll(skx, 1)) & (skyz == jnp.roll(skyz, 1)))
     first = first.at[0].set(key_ok[0])
 
-    seg = jnp.cumsum(first) - 1  # segment id per sorted element (garbage where !key_ok)
+    # log-shift prefix sum: jnp.cumsum lowers to a slow reduce_window here
+    seg = prefix_shift(first.astype(jnp.int32)) - 1  # segment id per sorted element
     seg = jnp.where(key_ok, seg, N - 1)
 
     any_new = jax.ops.segment_max(snew.astype(jnp.int32), seg, num_segments=N)

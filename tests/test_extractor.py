@@ -172,3 +172,21 @@ def test_jit_compiles_once():
                         time=jnp.zeros((4, 64)), valid=jnp.ones((4, 64), bool))
         out = fn(ri, 0.007, cfg)
     assert fn._cache_size() == 1
+
+
+def test_mask_indices_matches_nonzero():
+    """_mask_indices == sized jnp.nonzero (first-K set bits, ring-major) for
+    sparse/dense/empty/overflow masks, any (R, C) including C not divisible
+    by the 128-block."""
+    rng = np.random.default_rng(7)
+    for R, C, K, p in [(16, 1024, 2048, 0.02), (64, 2048, 8192, 0.03),
+                       (16, 64, 32, 0.9), (4, 128, 512, 0.0),
+                       (8, 96, 64, 0.5), (1, 128, 16, 1.0)]:
+        m = rng.random((R, C)) < p
+        ref = np.flatnonzero(m.ravel())
+        got, cnt = extractor._mask_indices(jnp.asarray(m), K)
+        got = np.asarray(got)
+        exp = np.zeros(K, np.int64)
+        exp[:min(len(ref), K)] = ref[:K]
+        assert int(cnt) == len(ref)
+        np.testing.assert_array_equal(got, exp)
