@@ -837,6 +837,19 @@ class Slam:
         self.wheel_odom.reset()
         self.imu.reset()
 
+    def set_sensor_data(self, file_name: str) -> dict:
+        """Clear and reload external sensor measurements from a delimited
+        text file (vtkSlam::SetSensorData, vtkSlam.cxx:406-458): columns
+        `time`+`odom` feed wheel odometry, `time`+`acc_x/y/z` feed IMU
+        gravity. Returns the loaded row counts."""
+        from lidarslam_tpu.io.sensor_csv import load_sensor_csv
+
+        self.clear_sensor_measurements()
+        if not file_name:
+            return {"odometry": 0, "imu": 0}
+        return load_sensor_csv(file_name, wheel_odom=self.wheel_odom,
+                               imu=self.imu)
+
     # ------------------------------------------------------------------
     # Results API (Slam.h getters surface)
     # ------------------------------------------------------------------

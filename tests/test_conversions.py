@@ -80,3 +80,61 @@ def test_gps_to_utm_local_metric_consistency():
     dlon = 100.0 / (111320.0 * np.cos(np.deg2rad(lat0)))
     e2, n2, _, _ = cv.gps_to_utm(lat0, lon0 + dlon)
     assert abs((e2 - e0) - 100.0) < 0.5 and abs(n2 - n0) < 1.5
+
+
+def test_sensor_csv_loading(tmp_path):
+    """load_sensor_csv parity with vtkSlam::SetSensorData
+    (vtkSlam.cxx:406-458): time+odom rows feed wheel odometry, acc_x/y/z
+    feed IMU gravity; mixed delimiters accepted."""
+    from lidarslam_tpu.io.sensor_csv import load_sensor_csv
+    from lidarslam_tpu.sensors.constraints import ImuManager, WheelOdometryManager
+
+    p = tmp_path / "sensors.csv"
+    p.write_text("time,odom,acc_x,acc_y,acc_z\n"
+                 "0.0,0.0,0.0,0.0,-9.81\n"
+                 "0.1;1.5;0.0;0.0;-9.81\n"
+                 "0.2 3.0 0.1 0.0 -9.8\n")
+    odom = WheelOdometryManager(weight=1.0)
+    imu = ImuManager(weight=1.0)
+    counts = load_sensor_csv(str(p), wheel_odom=odom, imu=imu)
+    assert counts == {"odometry": 3, "imu": 3}
+    assert odom.can_be_used() and imu.can_be_used()
+    assert odom.compute_constraint(0.05) is None  # first call sets the ref
+    r = odom.compute_constraint(0.15)
+    assert r is not None and float(r.distance) > 0
+
+
+def test_identify_input_arrays():
+    """Vendor autodetect (vtkSlam.cxx:574-601): Velodyne, Ouster, Hesai by
+    their characteristic array names with the right time unit."""
+    from lidarslam_tpu.io.sensor_csv import identify_input_arrays
+
+    v = identify_input_arrays(["adjustedtime", "intensity", "laser_id", "x"],
+                              ["verticalCorrection"])
+    assert v.vendor == "velodyne" and v.time_to_seconds == 1e-6
+    assert v.calibration == "verticalCorrection"
+    o = identify_input_arrays(["Raw Timestamp", "Signal Photons", "Channel"])
+    assert o.vendor == "ouster" and o.time_to_seconds == 1e-9
+    assert o.calibration is None
+    h = identify_input_arrays(["Timestamp", "Intensity", "LaserID"])
+    assert h.vendor == "hesai" and h.time_to_seconds == 1.0
+    assert identify_input_arrays(["x", "y", "z"]) is None
+
+
+def test_slam_set_sensor_data(tmp_path):
+    """Slam.set_sensor_data clears and reloads the managers."""
+    import jax
+    from lidarslam_tpu.config import ExtractorConfig, SlamConfig
+    from lidarslam_tpu.slam import Slam
+
+    p = tmp_path / "odo.txt"
+    p.write_text("time odom\n0.0 0.0\n0.1 1.0\n")
+    cfg = SlamConfig(extractor=ExtractorConfig(n_rings=4, max_ring_points=64,
+                                               max_keypoints=64),
+                     wheel_odom_weight=2.0)
+    slam = Slam(cfg)
+    counts = slam.set_sensor_data(str(p))
+    assert counts == {"odometry": 2, "imu": 0}
+    assert slam.wheel_odom.can_be_used()
+    assert slam.set_sensor_data("") == {"odometry": 0, "imu": 0}
+    assert not slam.wheel_odom.can_be_used()
