@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from lidarslam_tpu.config import ExtractorConfig
 from lidarslam_tpu.core import pca
 from lidarslam_tpu.ops.frame import Keypoints, RangeImage
-from lidarslam_tpu.ops.prims import prefix_shift
+from lidarslam_tpu.ops.prims import first_k_indices, prefix_shift
 
 _NEG = -3.0e38
 _POS = 3.0e38
@@ -271,37 +271,11 @@ def _nms(score, cand, w, rounds, col, persistent_valid, maximize):
 
 
 def _mask_indices(mask, capacity):
-    """Ring-major indices of the first `capacity` set bits of a (R, C) mask.
-
-    Equivalent to jnp.nonzero(mask.ravel(), size=capacity, fill_value=0),
-    but TPU-shaped: sized nonzero lowers to a 131k-update scatter-add
-    (~1 ms/call at 64-beam scale); this uses in-row prefix sums and a
-    rank->position search done as three compare-count stages (ring, then
-    128-wide block, then column), all vectorized, no scatters and only
-    small/contiguous gathers.
-
-    Returns (idx (capacity,) int32, count ())."""
-    R, C = mask.shape
-    B = 128 if C % 128 == 0 else C
-    nb = C // B
-    rows = prefix_shift(mask.astype(jnp.int32))          # (R, C) in-row inclusive
-    rtot = rows[:, -1]                                    # (R,) per-ring counts
-    roff = prefix_shift(rtot[None, :])[0] - rtot         # (R,) exclusive offsets
-    count = roff[-1] + rtot[-1]
-    bsum = rows.reshape(R, nb, B)[:, :, -1]               # (R, nb) inclusive block sums
-    j = jnp.arange(capacity, dtype=jnp.int32)             # want the (j+1)-th set bit
-    # ring r owns rank j iff roff[r] <= j < roff[r] + rtot[r]; empty rings
-    # repeat their successor's offset and lose the compare-count tie
-    ring = jnp.sum(j[:, None] >= roff[None, :], axis=1) - 1
-    jr = j - roff[ring]                                   # 0-based in-ring rank
-    blk = jnp.sum(bsum[ring] <= jr[:, None], axis=1)      # 128-wide block
-    # ranks beyond `count` run blk out of range; the gather clamps and the
-    # slot_valid mask below zeroes the result, matching nonzero's fill
-    seg = rows.reshape(R * nb, B)[ring * nb + blk]        # (capacity, B) contiguous
-    col = blk * B + jnp.sum(seg <= jr[:, None], axis=1)
-    idx = ring * C + col
-    slot_valid = j < jnp.minimum(count, capacity)
-    return jnp.where(slot_valid, idx, 0), count
+    """Ring-major indices of the first `capacity` set bits of a (R, C)
+    label mask plus the total count — the scatter-free sized-nonzero
+    (see prims.first_k_indices; sized jnp.nonzero lowers to a full-length
+    scatter-add, ~1 ms/call at 64-beam scale)."""
+    return first_k_indices(mask, capacity)
 
 
 def _compact(ri: RangeImage, mask, capacity):

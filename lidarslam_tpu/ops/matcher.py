@@ -91,7 +91,8 @@ def _finish(A6, P, X, weight, ok, status):
     )
 
 
-def _knn(index: SubmapView, world, k, params: MatchingConfig, geom=None):
+def _knn(index: SubmapView, world, k, params: MatchingConfig, geom=None,
+         q_valid=None):
     """Neighbor search. Returns (d2 (Q,k), nbr (Q,k,3), rings (Q,k), found).
 
     `geom` is the static per-call index geometry: None for a plain local
@@ -115,7 +116,8 @@ def _knn(index: SubmapView, world, k, params: MatchingConfig, geom=None):
     # gate are skipped on the Pallas path — any dropped neighbor would have
     # been rejected by the `near` check below anyway
     d2, idx = brute_knn(index, world, k,
-                        prune_radius=float(params.max_neighbors_distance))
+                        prune_radius=float(params.max_neighbors_distance),
+                        q_valid=q_valid)
     nbr = index.xyz[idx]                       # (Q, k, 3) — post-top-k, small
     found = jnp.isfinite(d2)
     return d2, nbr, index.ring[idx], found
@@ -125,7 +127,7 @@ def match_planes(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConf
     """Point-to-plane matches (BuildPlaneMatch semantics)."""
     k = params.plane_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
-    d2, nbr, _, found = _knn(index, world, k, params, geom)
+    d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid)
 
     n_found = jnp.sum(found, axis=1)
     enough = kp_valid & (n_found >= k)
@@ -156,7 +158,7 @@ def match_edges(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfi
     """Point-to-line matches; neighbor filter per params.single_edge_per_ring."""
     k = params.edge_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
-    d2, nbr, rings, found = _knn(index, world, k, params, geom)
+    d2, nbr, rings, found = _knn(index, world, k, params, geom, kp_valid)
 
     if params.single_edge_per_ring:
         sel = _per_ring_filter(rings, found)
@@ -188,7 +190,7 @@ def match_blobs(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfi
     """Point-to-ellipsoid matches (BuildBlobMatch semantics)."""
     k = params.blob_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
-    d2, nbr, _, found = _knn(index, world, k, params, geom)
+    d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid)
 
     n_found = jnp.sum(found, axis=1)
     enough = kp_valid & (n_found >= k)

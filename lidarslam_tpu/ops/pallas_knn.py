@@ -73,8 +73,8 @@ SENTINEL = 0x7FFFFFFF  # python int: a module-level jnp scalar would be
 BIG = jnp.float32(1e9)  # coordinate sentinel for invalid slots (d2 ~ 3e18)
 
 
-def _knn_kernel(lo_ref, nb_ref, qx_ref, qy_ref, qz_ref, px_ref, py_ref,
-                pz_ref, vals_ref, lanes_ref, acc_ref,
+def _knn_kernel(nv_ref, lo_ref, nb_ref, qx_ref, qy_ref, qz_ref, px_ref,
+                py_ref, pz_ref, vals_ref, lanes_ref, acc_ref,
                 *, rg: int, row_mask: int, k: int, n_groups: int):
     """One query tile vs one map row group: packed running min over the
     tile's [lo, lo+nb) row blocks, then exact top-k extraction on the last
@@ -82,43 +82,50 @@ def _knn_kernel(lo_ref, nb_ref, qx_ref, qy_ref, qz_ref, px_ref, py_ref,
 
     qx/qy/qz: (TQ, 1) query coords.  px/py/pz: (rg, L) map coords, row-major
     reshape of the flat slot array (slot = r*L + lane).  lo/nb: (T, G) SMEM
-    per-(tile, group) block ranges.  Outputs (TQ, KP) int32: the k smallest
-    packed (distance-bits | global row) values and their bucket lanes.
+    per-(tile, group) block ranges.  nv: (1,) SMEM count of live queries —
+    queries are sorted live-first, so tiles past it skip both the scan and
+    the k-extraction passes entirely (fill-slot queries are a large
+    fraction of the fixed-capacity keypoint arrays).  Outputs (TQ, KP)
+    int32: the k smallest packed (distance-bits | global row) values and
+    their bucket lanes; SENTINEL for dead tiles.
     """
     i = pl.program_id(0)
     g = pl.program_id(1)
+    active = i * TQ < nv_ref[0]
 
-    @pl.when(g == 0)
+    @pl.when((g == 0) & active)
     def _init():
         acc_ref[...] = jnp.full((TQ, LANES), SENTINEL, jnp.int32)
 
-    qx = qx_ref[...][:, :, None]   # (TQ, 1, 1)
-    qy = qy_ref[...][:, :, None]
-    qz = qz_ref[...][:, :, None]
-    row0 = g * rg
-    lo = lo_ref[i, g]
-    nb = nb_ref[i, g]
-    rb_iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, ROW_BLOCK, LANES), 1)
+    @pl.when(active)
+    def _scan():
+        qx = qx_ref[...][:, :, None]   # (TQ, 1, 1)
+        qy = qy_ref[...][:, :, None]
+        qz = qz_ref[...][:, :, None]
+        row0 = g * rg
+        lo = lo_ref[i, g]
+        nb = nb_ref[i, g]
+        rb_iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, ROW_BLOCK, LANES), 1)
 
-    def body(b, best):
-        # r0 = (lo + b) * 8: a provable multiple of 8 for the sublane slice
-        r0 = (lo + b) * ROW_BLOCK
-        px = px_ref[pl.ds(r0, ROW_BLOCK), :][None]   # (1, RB, L)
-        py = py_ref[pl.ds(r0, ROW_BLOCK), :][None]
-        pz = pz_ref[pl.ds(r0, ROW_BLOCK), :][None]
-        dx = qx - px
-        dy = qy - py
-        dz = qz - pz
-        d2 = dx * dx + dy * dy + dz * dz             # (TQ, RB, L)
-        # d2 >= 0, so its IEEE bits are a non-negative, order-preserving
-        # int32 (Mosaic has no unsigned reductions)
-        bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
-        packed = (bits & jnp.int32(~row_mask)) | (rb_iota + jnp.int32(row0) + r0)
-        return jnp.minimum(best, jnp.min(packed, axis=1))
+        def body(b, best):
+            # r0 = (lo + b) * 8: a provable multiple of 8 for the sublane slice
+            r0 = (lo + b) * ROW_BLOCK
+            px = px_ref[pl.ds(r0, ROW_BLOCK), :][None]   # (1, RB, L)
+            py = py_ref[pl.ds(r0, ROW_BLOCK), :][None]
+            pz = pz_ref[pl.ds(r0, ROW_BLOCK), :][None]
+            dx = qx - px
+            dy = qy - py
+            dz = qz - pz
+            d2 = dx * dx + dy * dy + dz * dz             # (TQ, RB, L)
+            # d2 >= 0, so its IEEE bits are a non-negative, order-preserving
+            # int32 (Mosaic has no unsigned reductions)
+            bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
+            packed = (bits & jnp.int32(~row_mask)) | (rb_iota + jnp.int32(row0) + r0)
+            return jnp.minimum(best, jnp.min(packed, axis=1))
 
-    acc_ref[...] = jax.lax.fori_loop(0, nb, body, acc_ref[...])
+        acc_ref[...] = jax.lax.fori_loop(0, nb, body, acc_ref[...])
 
-    @pl.when(g == n_groups - 1)
+    @pl.when((g == n_groups - 1) & active)
     def _extract():
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, LANES), 1)
         kp_iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, KP), 1)
@@ -142,6 +149,11 @@ def _knn_kernel(lo_ref, nb_ref, qx_ref, qy_ref, qz_ref, px_ref, py_ref,
         vals_ref[...] = vals
         lanes_ref[...] = lanes
 
+    @pl.when((g == n_groups - 1) & ~active)
+    def _dead():
+        vals_ref[...] = jnp.full((TQ, KP), SENTINEL, jnp.int32)
+        lanes_ref[...] = jnp.zeros((TQ, KP), jnp.int32)
+
 
 def _morton10(x):
     """Spread the low 10 bits of x over every 3rd bit (Morton interleave)."""
@@ -153,19 +165,22 @@ def _morton10(x):
     return x
 
 
-def _spatial_order(queries, cell: float):
-    """Morton order of the query cloud at `cell` granularity."""
+def _spatial_order(queries, cell: float, q_valid=None):
+    """Morton order of the query cloud at `cell` granularity; dead queries
+    (q_valid False) sort to the end so whole tiles of them can be skipped."""
     qmin = jnp.min(queries, axis=0)
     q = jnp.clip(((queries - qmin) / cell).astype(jnp.int32), 0, 1023)
     code = (_morton10(q[:, 0]) | (_morton10(q[:, 1]) << 1)
             | (_morton10(q[:, 2]) << 2))
+    if q_valid is not None:
+        code = jnp.where(q_valid, code, jnp.int32(2**31 - 1))
     return jnp.argsort(code)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "prune_radius", "interpret"))
 def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
-                 interpret: bool = False):
+                 interpret: bool = False, q_valid=None):
     """k nearest valid map slots per query.
 
     Same contract as `voxel_map.brute_knn`: returns (sq_dists (Q, k)
@@ -175,6 +190,10 @@ def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
     from a query tile's AABB are skipped. Only neighbors within the radius
     are then guaranteed; pass the matcher gate (max_neighbors_distance) so
     every surviving match is unaffected.
+
+    `q_valid` (Q,) bool: dead query slots (fixed-capacity keypoint fill)
+    sort to the end and whole dead tiles skip the kernel body; their
+    neighbors come back +inf/missing.
     """
     if k > KP:
         raise ValueError(f"k={k} exceeds the kernel output width {KP}")
@@ -204,10 +223,14 @@ def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
     px, py, pz = coord(0), coord(1), coord(2)
 
     order = inv = None
+    n_valid = jnp.int32(Q)
     if prune_radius is not None and Q > TQ:
-        order = _spatial_order(queries, cell=max(float(prune_radius), 1e-3))
+        order = _spatial_order(queries, cell=max(float(prune_radius), 1e-3),
+                               q_valid=q_valid)
         inv = jnp.argsort(order)
         queries = queries[order]
+        if q_valid is not None:
+            n_valid = jnp.sum(q_valid).astype(jnp.int32)
     # edge-pad so the last tile's AABB is not inflated toward the origin
     q = queries if Qp == Q else jnp.concatenate(
         [queries, jnp.broadcast_to(queries[-1:], (Qp - Q, 3))])
@@ -248,6 +271,7 @@ def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TQ, 1), lambda i, g: (i, 0)),
             pl.BlockSpec((TQ, 1), lambda i, g: (i, 0)),
             pl.BlockSpec((TQ, 1), lambda i, g: (i, 0)),
@@ -261,7 +285,7 @@ def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
                    jax.ShapeDtypeStruct((Qp, KP), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((TQ, LANES), jnp.int32)],
         interpret=interpret,
-    )(lo, nb, qx, qy, qz, px, py, pz)
+    )(jnp.reshape(n_valid, (1,)), lo, nb, qx, qy, qz, px, py, pz)
     vals = vals[:Q, :k]
     lanes = lanes[:Q, :k]
 

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lidarslam_tpu.config import MapConfig, SamplingMode
+from lidarslam_tpu.ops import prims
 from lidarslam_tpu.ops.prims import prefix_shift
 
 _BIGKEY = np.int32(2**31 - 1)
@@ -166,45 +167,50 @@ def add_points(
 
     # log-shift prefix sum: jnp.cumsum lowers to a slow reduce_window here
     seg = prefix_shift(first.astype(jnp.int32)) - 1  # segment id per sorted element
-    seg = jnp.where(key_ok, seg, N - 1)
+    seg = jnp.where(key_ok, seg, N)
 
-    any_new = jax.ops.segment_max(snew.astype(jnp.int32), seg, num_segments=N)
-    old_cnt = jax.ops.segment_max(jnp.where(~snew, scnt, 0), seg, num_segments=N)
-    has_fixed_old = jax.ops.segment_max((sfix & ~snew).astype(jnp.int32), seg, num_segments=N)
-
+    # Per-segment aggregates as reverse segmented log-shift scans: at each
+    # segment's first element (= its winner under the priority sort) the
+    # scan value is the full-segment aggregate. jax.ops.segment_max/sum
+    # lower to full-length scatters here (~0.27 ms each at 64-beam map
+    # scale, 3-5 per update).
+    scans = [(snew & key_ok, jnp.logical_or, False),
+             (jnp.where(~snew, scnt, 0), jnp.maximum, 0),
+             (sfix & ~snew & key_ok, jnp.logical_or, False)]
     if mode == SamplingMode.CENTROID:
         nw = snew & key_ok
-        sum_new = jax.ops.segment_sum(sxyz * nw[:, None], seg, num_segments=N)
-        n_new = jax.ops.segment_sum(nw.astype(jnp.float32), seg, num_segments=N)
+        scans += [(sxyz * nw[:, None], jnp.add, 0.0),
+                  (nw.astype(jnp.float32), jnp.add, 0.0)]
+    scanned = prims.rev_segment_scan(seg, scans)
+    any_new, old_cnt, has_fixed_old = scanned[:3]
+    if mode == SamplingMode.CENTROID:
+        sum_new, n_new = scanned[3:]
         mean_new = sum_new / jnp.maximum(n_new, 1.0)[:, None]
 
-    # winner = first element of each segment
-    w_seg = seg
-    w_any_new = (any_new[w_seg] > 0) & first
-    w_fixed_old = (has_fixed_old[w_seg] > 0)
-    touched = w_any_new & ~w_fixed_old
+    # winner = first element of each segment; scan values at `first` rows
+    # hold the per-segment aggregates (garbage elsewhere, always masked)
+    w_any_new = any_new & first
+    touched = w_any_new & ~has_fixed_old
 
     out_xyz = sxyz
     if mode == SamplingMode.CENTROID:
         old_exists = ~snew  # winner slot is the old point when one exists (order prio)
-        combined = (sxyz * scnt[:, None] + mean_new[w_seg]) / (scnt[:, None] + 1.0)
+        combined = (sxyz * scnt[:, None] + mean_new) / (scnt[:, None] + 1.0)
         out_xyz = jnp.where(
             (touched & old_exists)[:, None], combined,
-            jnp.where((touched & snew)[:, None], mean_new[w_seg], sxyz))
+            jnp.where((touched & snew)[:, None], mean_new, sxyz))
 
     out_time = jnp.where(touched, jnp.float32(current_time), stim)
     out_fix = jnp.where(touched, fixed, sfix)
-    out_cnt = jnp.where(first, old_cnt[w_seg] + touched.astype(jnp.int32), scnt)
+    out_cnt = jnp.where(first, old_cnt + touched.astype(jnp.int32), scnt)
 
-    # --- compact winners into the first M slots (stable keeps key order) ---
-    not_winner = (~first).astype(jnp.int32)
-    row2 = jnp.arange(N, dtype=jnp.int32)
-    _, crow = jax.lax.sort((not_winner, row2), num_keys=1, is_stable=True)
-    crow = crow[:M]
+    # --- compact winners into the first M slots (rank search keeps key
+    # order; a stable sort-based partition costs a second full sort) ---
+    crow, n_winners = prims.first_k_indices(first, M)
+    slot_ok = jnp.arange(M, dtype=jnp.int32) < n_winners
     # winners beyond the M slots are dropped (always the largest leaf keys —
     # one spatial edge of the window); count them so long runs can see the
     # map silently thinning (keypoint-capacity warning analog, slam.py)
-    n_winners = jnp.sum(first, dtype=jnp.int32)
     dropped = jnp.maximum(n_winners - M, 0)
     return VoxelMap(
         xyz=out_xyz[crow],
@@ -212,7 +218,7 @@ def add_points(
         time=out_time[crow],
         count=out_cnt[crow],
         fixed=out_fix[crow],
-        valid=first[crow],
+        valid=slot_ok,
         overflow=vmap_.overflow + dropped,
     )
 
@@ -404,7 +410,7 @@ class SubmapView(NamedTuple):
 
 def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192,
               recall_target: float = 0.99, use_pallas: bool | None = None,
-              prune_radius: float | None = None):
+              prune_radius: float | None = None, q_valid=None):
     """k nearest valid points per query (exact distances, per-chunk selection
     via the TPU-optimized `approx_max_k` PartialReduce at `recall_target`;
     pass 1.0 for the fully exact `top_k` path).
@@ -422,7 +428,8 @@ def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192,
     if use_pallas:
         from lidarslam_tpu.ops import pallas_knn
         return pallas_knn.bucketed_knn(view.xyz, view.valid, queries, k,
-                                       prune_radius=prune_radius)
+                                       prune_radius=prune_radius,
+                                       q_valid=q_valid)
     Q = queries.shape[0]
     qx, qy, qz = queries[:, 0:1], queries[:, 1:2], queries[:, 2:3]
     chunk = min(chunk, M)

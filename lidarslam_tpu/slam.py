@@ -369,7 +369,15 @@ class Slam:
             return []
         cfg = self.cfg
         res_m = voxel_map.effective_resolution(self._map_cfgs_tuple[int(cfg.used_types[0])])
-        packed_all = jax.device_get([p["packed"] for p in self._stream_pending])
+        # one stacked transfer: a device_get per frame pays the transport
+        # round-trip each time (~0.6 s for 120 frames over the TPU tunnel).
+        # Pad the stack to power-of-two lengths so segment length doesn't
+        # shape-specialize (= recompile) the stack op.
+        n_pend = len(self._stream_pending)
+        cap = max(8, 1 << (n_pend - 1).bit_length())
+        arrs = [p["packed"] for p in self._stream_pending]
+        arrs += [arrs[-1]] * (cap - n_pend)
+        packed_all = np.asarray(jax.device_get(jnp.stack(arrs)))[:n_pend]
         outs = []
         for entry, packed in zip(self._stream_pending, packed_all):
             u = pipeline.unpack_scalars(packed[:pipeline.PACKED_LEN])

@@ -166,3 +166,23 @@ def test_exact_topk_extraction_beats_recall():
     idx, eidx = np.asarray(idx), np.asarray(eidx)
     hits = sum(len(set(idx[i]) & set(eidx[i])) for i in range(len(idx)))
     assert hits / idx.size > 0.97
+
+
+def test_dead_query_tiles_skipped():
+    """With q_valid, dead queries sort last and whole dead tiles skip the
+    kernel (fixed-capacity keypoint fill); live queries keep exact 1-NN,
+    dead queries come back +inf/missing."""
+    xyz, valid, queries = _setup(m=4000, q=512)
+    rng = np.random.default_rng(3)
+    q_valid = jnp.asarray(rng.uniform(size=512) < 0.3)
+    d2, idx = pallas_knn.bucketed_knn(xyz, valid, queries, 4,
+                                      prune_radius=100.0, interpret=True,
+                                      q_valid=q_valid)
+    ed2, eidx = _exact(xyz, valid, queries, 4)
+    live = np.asarray(q_valid)
+    np.testing.assert_allclose(np.asarray(d2)[live, 0],
+                               np.asarray(ed2)[live, 0], rtol=1e-5)
+    # entirely-dead tiles produce no neighbors; a dead query can only get
+    # results if it shares the boundary (mixed) tile with live ones
+    n_dead_with_results = int(np.isfinite(np.asarray(d2)[~live, 0]).sum())
+    assert n_dead_with_results <= pallas_knn.TQ
