@@ -100,6 +100,57 @@ def _leaf_keys(xyz, valid, cfg: MapConfig):
     return kx, kyz, inb
 
 
+def _sampling_prio(xyz, inten, order, mode, cfg: MapConfig):
+    """Winner priority per sampling mode (ascending: smaller wins)."""
+    if mode == SamplingMode.FIRST or mode == SamplingMode.CENTROID:
+        return order
+    if mode == SamplingMode.LAST:
+        return -order
+    if mode == SamplingMode.MAX_INTENSITY:
+        return -inten
+    if mode == SamplingMode.CENTER_POINT:
+        half = half_extent(cfg)
+        li = jnp.floor((xyz + half) / cfg.leaf_size)
+        center = (li + 0.5) * cfg.leaf_size - half
+        return jnp.linalg.norm(xyz - center, axis=-1)
+    raise ValueError(f"unknown sampling mode {mode}")  # pragma: no cover
+
+
+def _reduce_batch(new_xyz, new_intensity, new_valid, cfg: MapConfig):
+    """Per-leaf reduction of the incoming batch alone: one winner per leaf
+    by `cfg.sampling` (CENTROID: the winner's coords become the run mean,
+    weighted downstream as a single sample — RollingGrid.cxx:211-216
+    accumulates one centroid contribution per frame). Losers' keys become
+    BIGKEY. All work on (K,) arrays — the K ~ 2k batch, not the map."""
+    K = new_xyz.shape[0]
+    mode = cfg.sampling
+    x = new_xyz[:, 0].astype(jnp.float32)
+    y = new_xyz[:, 1].astype(jnp.float32)
+    z = new_xyz[:, 2].astype(jnp.float32)
+    inten = new_intensity.astype(jnp.float32)
+    kx, kyz, _ = _leaf_keys(new_xyz.astype(jnp.float32), new_valid, cfg)
+    order = jnp.arange(K, dtype=jnp.float32)
+    prio = _sampling_prio(new_xyz.astype(jnp.float32), inten, order, mode, cfg)
+    skx, skyz, _, sx, sy, sz, sint = jax.lax.sort(
+        (kx, kyz, prio, x, y, z, inten), num_keys=3, is_stable=True)
+    key_ok = skx != _BIGKEY
+    prv_kx = jnp.concatenate([jnp.full((1,), _BIGKEY), skx[:-1]])
+    prv_kyz = jnp.concatenate([jnp.full((1,), _BIGKEY), skyz[:-1]])
+    first = key_ok & ~((skx == prv_kx) & (skyz == prv_kyz))
+    if mode == SamplingMode.CENTROID:
+        seg = prefix_shift(first.astype(jnp.int32)) - 1
+        seg = jnp.where(key_ok, seg, K)
+        okf = key_ok.astype(jnp.float32)
+        sums = prims.rev_segment_scan(
+            seg, [(sx * okf, jnp.add, 0.0), (sy * okf, jnp.add, 0.0),
+                  (sz * okf, jnp.add, 0.0), (okf, jnp.add, 0.0)])
+        n = jnp.maximum(sums[3], 1.0)
+        sx, sy, sz = sums[0] / n, sums[1] / n, sums[2] / n
+    wkx = jnp.where(first, skx, _BIGKEY)
+    wkyz = jnp.where(first, skyz, _BIGKEY)
+    return wkx, wkyz, sx, sy, sz, sint
+
+
 @partial(jax.jit, static_argnames=("cfg", "fixed"))
 def add_points(
     vmap_: VoxelMap,
@@ -116,108 +167,101 @@ def add_points(
     One point per leaf survives, selected by `cfg.sampling`; fixed leaves are
     never modified; each leaf touched by >=1 new point gets its
     frames-per-voxel count bumped once and its stamp set to `current_time`.
-    """
+
+    Everything is gather-free: dynamic gathers are the slowest construct on
+    this backend (~0.5 ms per 1-D mega-gather at map scale, measured), while
+    multi-operand sorts cost nearly the same as single-operand ones. So the
+    batch is leaf-reduced on (K,) arrays first, then merged with the map by
+    one payload-dragging sort; both the map and the reduced batch are
+    leaf-unique, so every leaf run has length <= 2 and all per-leaf
+    aggregates are single pad-shifts. Compaction is a stable 1-key sort."""
     M = vmap_.xyz.shape[0]
     K = new_xyz.shape[0]
     N = M + K
+    mode = cfg.sampling
 
-    xyz = jnp.concatenate([vmap_.xyz, new_xyz.astype(jnp.float32)])
-    inten = jnp.concatenate([vmap_.intensity, new_intensity.astype(jnp.float32)])
+    # --- leaf-reduce the batch (all ops on (K,)) ---
+    bkx, bkyz, bx, by, bz, bint = _reduce_batch(new_xyz, new_intensity,
+                                                new_valid, cfg)
+
+    # --- merge arrays: map slots ++ batch winners ---
+    mkx, mkyz, _ = _leaf_keys(vmap_.xyz, vmap_.valid, cfg)
+    kx = jnp.concatenate([mkx, bkx])
+    kyz = jnp.concatenate([mkyz, bkyz])
+    x = jnp.concatenate([vmap_.xyz[:, 0], bx])
+    y = jnp.concatenate([vmap_.xyz[:, 1], by])
+    z = jnp.concatenate([vmap_.xyz[:, 2], bz])
+    inten = jnp.concatenate([vmap_.intensity, bint])
     tim = jnp.concatenate([vmap_.time, jnp.broadcast_to(new_time, (K,)).astype(jnp.float32)])
     cnt = jnp.concatenate([vmap_.count, jnp.zeros((K,), jnp.int32)])
-    fix = jnp.concatenate([vmap_.fixed, jnp.full((K,), fixed)])
-    val = jnp.concatenate([vmap_.valid, new_valid])
-    is_new = jnp.arange(N) >= M
+    fix = jnp.concatenate([vmap_.fixed, jnp.full((K,), fixed)]).astype(jnp.int32)
+    is_new = (jnp.arange(N) >= M).astype(jnp.int32)
 
-    kx, kyz, inb = _leaf_keys(xyz, val, cfg)
-
-    # --- winner priority per sampling mode (ascending: smaller = wins) ---
-    order = jnp.arange(N, dtype=jnp.float32)
-    mode = cfg.sampling
-    if mode == SamplingMode.FIRST or mode == SamplingMode.CENTROID:
-        prio = order
+    if mode in (SamplingMode.FIRST, SamplingMode.CENTROID):
+        prio = is_new.astype(jnp.float32)       # old wins
     elif mode == SamplingMode.LAST:
-        prio = -order
-    elif mode == SamplingMode.MAX_INTENSITY:
-        prio = -inten
-    elif mode == SamplingMode.CENTER_POINT:
-        half = half_extent(cfg)
-        li = jnp.floor((xyz + half) / cfg.leaf_size)
-        center = (li + 0.5) * cfg.leaf_size - half
-        prio = jnp.linalg.norm(xyz - center, axis=-1)
-    else:  # pragma: no cover
-        raise ValueError(f"unknown sampling mode {mode}")
+        prio = -is_new.astype(jnp.float32)      # new wins
+    else:
+        xyz3 = jnp.stack([x, y, z], axis=-1)
+        prio = _sampling_prio(xyz3, inten, jnp.zeros((N,), jnp.float32),
+                              mode, cfg)
     # existing fixed points always win their leaf (RollingGrid.cxx:218-219)
-    prio = jnp.where(fix & ~is_new, -jnp.inf, prio)
+    prio = jnp.where((fix == 1) & (is_new == 0), -jnp.inf, prio)
 
-    # sort only (keys, priority, row-id), then gather full rows once —
-    # much cheaper than dragging every attribute through the sort network
-    row = jnp.arange(N, dtype=jnp.int32)
-    skx, skyz, _, srow = jax.lax.sort((kx, kyz, prio, row), num_keys=4)
-    sxyz = xyz[srow]
-    sint = inten[srow]
-    stim = tim[srow]
-    scnt = cnt[srow]
-    sfix = fix[srow]
-    snew = is_new[srow]
+    skx, skyz, _, sx, sy, sz, sint, stim, scnt, sfix, snew = jax.lax.sort(
+        (kx, kyz, prio, x, y, z, inten, tim, cnt, fix, is_new),
+        num_keys=3, is_stable=True)
 
     key_ok = skx != _BIGKEY
-    first = key_ok & ~((skx == jnp.roll(skx, 1)) & (skyz == jnp.roll(skyz, 1)))
-    first = first.at[0].set(key_ok[0])
+    prv_kx = jnp.concatenate([jnp.full((1,), _BIGKEY), skx[:-1]])
+    prv_kyz = jnp.concatenate([jnp.full((1,), _BIGKEY), skyz[:-1]])
+    winner = key_ok & ~((skx == prv_kx) & (skyz == prv_kyz))
 
-    # log-shift prefix sum: jnp.cumsum lowers to a slow reduce_window here
-    seg = prefix_shift(first.astype(jnp.int32)) - 1  # segment id per sorted element
-    seg = jnp.where(key_ok, seg, N)
+    # pair combine: runs have length <= 2 (both sources are leaf-unique),
+    # so each winner's only possible loser is its immediate successor
+    def nxt(a, fill):
+        return jnp.concatenate([a[1:], jnp.full((1,), fill, a.dtype)])
 
-    # Per-segment aggregates as reverse segmented log-shift scans: at each
-    # segment's first element (= its winner under the priority sort) the
-    # scan value is the full-segment aggregate. jax.ops.segment_max/sum
-    # lower to full-length scatters here (~0.27 ms each at 64-beam map
-    # scale, 3-5 per update).
-    scans = [(snew & key_ok, jnp.logical_or, False),
-             (jnp.where(~snew, scnt, 0), jnp.maximum, 0),
-             (sfix & ~snew & key_ok, jnp.logical_or, False)]
+    nxt_same = key_ok & (nxt(skx, _BIGKEY) == skx) & (nxt(skyz, _BIGKEY) == skyz)
+    l_new = nxt_same & (nxt(snew, 0) == 1)
+    l_old = nxt_same & (nxt(snew, 0) == 0)
+    any_new = (snew == 1) | l_new
+    old_cnt = jnp.maximum(jnp.where(snew == 0, scnt, 0),
+                          jnp.where(l_old, nxt(scnt, 0), 0))
+    has_fixed_old = ((sfix == 1) & (snew == 0)) | (l_old & (nxt(sfix, 0) == 1))
+    touched = winner & any_new & ~has_fixed_old
+
+    out_x, out_y, out_z = sx, sy, sz
     if mode == SamplingMode.CENTROID:
-        nw = snew & key_ok
-        scans += [(sxyz * nw[:, None], jnp.add, 0.0),
-                  (nw.astype(jnp.float32), jnp.add, 0.0)]
-    scanned = prims.rev_segment_scan(seg, scans)
-    any_new, old_cnt, has_fixed_old = scanned[:3]
-    if mode == SamplingMode.CENTROID:
-        sum_new, n_new = scanned[3:]
-        mean_new = sum_new / jnp.maximum(n_new, 1.0)[:, None]
-
-    # winner = first element of each segment; scan values at `first` rows
-    # hold the per-segment aggregates (garbage elsewhere, always masked)
-    w_any_new = any_new & first
-    touched = w_any_new & ~has_fixed_old
-
-    out_xyz = sxyz
-    if mode == SamplingMode.CENTROID:
-        old_exists = ~snew  # winner slot is the old point when one exists (order prio)
-        combined = (sxyz * scnt[:, None] + mean_new) / (scnt[:, None] + 1.0)
-        out_xyz = jnp.where(
-            (touched & old_exists)[:, None], combined,
-            jnp.where((touched & snew)[:, None], mean_new, sxyz))
+        # winner slot is the old point when one exists (order priority);
+        # its loser carries the batch run mean, weighted as one sample
+        c = scnt.astype(jnp.float32)
+        blend = touched & (snew == 0) & l_new
+        out_x = jnp.where(blend, (sx * c + nxt(sx, 0.0)) / (c + 1.0), sx)
+        out_y = jnp.where(blend, (sy * c + nxt(sy, 0.0)) / (c + 1.0), sy)
+        out_z = jnp.where(blend, (sz * c + nxt(sz, 0.0)) / (c + 1.0), sz)
 
     out_time = jnp.where(touched, jnp.float32(current_time), stim)
-    out_fix = jnp.where(touched, fixed, sfix)
-    out_cnt = jnp.where(first, old_cnt + touched.astype(jnp.int32), scnt)
+    out_fix = jnp.where(touched, jnp.int32(fixed), sfix)
+    out_cnt = jnp.where(touched, old_cnt + 1, scnt)
 
-    # --- compact winners into the first M slots (rank search keeps key
-    # order; a stable sort-based partition costs a second full sort) ---
-    crow, n_winners = prims.first_k_indices(first, M)
-    slot_ok = jnp.arange(M, dtype=jnp.int32) < n_winners
-    # winners beyond the M slots are dropped (always the largest leaf keys —
-    # one spatial edge of the window); count them so long runs can see the
+    # --- compact winners into the first M slots (stable sort keeps key
+    # order, so drops beyond M are always the largest leaf keys — one
+    # spatial edge of the window); count them so long runs can see the
     # map silently thinning (keypoint-capacity warning analog, slam.py)
+    loser = (~winner).astype(jnp.int32)
+    _, cx, cy, cz, cint, ctim, ccnt, cfix = jax.lax.sort(
+        (loser, out_x, out_y, out_z, sint, out_time, out_cnt, out_fix),
+        num_keys=1, is_stable=True)
+    n_winners = jnp.sum(winner, dtype=jnp.int32)
+    slot_ok = jnp.arange(M, dtype=jnp.int32) < n_winners
     dropped = jnp.maximum(n_winners - M, 0)
     return VoxelMap(
-        xyz=out_xyz[crow],
-        intensity=sint[crow],
-        time=out_time[crow],
-        count=out_cnt[crow],
-        fixed=out_fix[crow],
+        xyz=jnp.stack([cx[:M], cy[:M], cz[:M]], axis=-1),
+        intensity=cint[:M],
+        time=ctim[:M],
+        count=ccnt[:M],
+        fixed=cfix[:M].astype(bool),
         valid=slot_ok,
         overflow=vmap_.overflow + dropped,
     )
