@@ -50,14 +50,19 @@ class DiskCloud(NamedTuple):
 
 
 def _to_host(kp) -> HostCloud:
-    import jax
+    from lidarslam_tpu.ops.frame import KeypointsView
 
-    host = jax.tree.map(np.asarray, kp)
+    if isinstance(kp, KeypointsView):
+        host = kp   # lazy flat-buffer view: attribute access pulls once
+    else:
+        import jax
+
+        host = jax.tree.map(np.asarray, kp)
     n = int(host.count)
-    return HostCloud(xyz=host.xyz[:n].astype(np.float32),
-                     intensity=host.intensity[:n].astype(np.float32),
-                     time=host.time[:n].astype(np.float32),
-                     ring=host.ring[:n].astype(np.int32))
+    return HostCloud(xyz=np.asarray(host.xyz[:n], np.float32),
+                     intensity=np.asarray(host.intensity[:n], np.float32),
+                     time=np.asarray(host.time[:n], np.float32),
+                     ring=np.asarray(host.ring[:n], np.int32))
 
 
 def store(kp, mode, directory: str = "", tag: str = ""):
@@ -120,7 +125,12 @@ def memory_size(obj) -> dict:
     elif isinstance(obj, DiskCloud):
         out["ram"] = len(obj.path)
         out["disk"] = os.path.getsize(obj.path) if os.path.exists(obj.path) else 0
-    else:  # device Keypoints
-        out["device"] = sum(int(np.prod(a.shape)) * a.dtype.itemsize
-                            for a in obj if hasattr(a, "dtype"))
+    else:  # device Keypoints / flat-buffer view
+        from lidarslam_tpu.ops.frame import KeypointsView
+
+        if isinstance(obj, KeypointsView):
+            out["device"] = obj.device_nbytes
+        else:
+            out["device"] = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                                for a in obj if hasattr(a, "dtype"))
     return out

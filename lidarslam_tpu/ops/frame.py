@@ -59,8 +59,64 @@ class PackedRangeImage(NamedTuple):
             valid=self.valid)
 
 
+class ByteRangeImage:
+    """PackedRangeImage serialized into ONE byte buffer so each sweep is a
+    single host->device transfer (4 separate uploads cost ~1.5 ms of host
+    dispatch per frame over the device tunnel). Layout, for n = R*C:
+    [xyz_q i16 (6n)] [intensity u8 (n)] [time f16 (2n)] [valid u8 (n)].
+    Registered as a pytree with (R, C) static so it passes through jit."""
+
+    __slots__ = ("buf", "shape")
+
+    def __init__(self, buf, shape):
+        self.buf = buf
+        self.shape = tuple(shape)
+
+    def unpack(self) -> "RangeImage":
+        import jax.lax as lax
+
+        R, C = self.shape
+        n = R * C
+        b = self.buf
+        q = lax.bitcast_convert_type(b[:6 * n].reshape(R, C, 3, 2), jnp.int16)
+        inten = b[6 * n:7 * n].reshape(R, C)
+        t = lax.bitcast_convert_type(b[7 * n:9 * n].reshape(R, C, 2), jnp.float16)
+        valid = b[9 * n:10 * n].reshape(R, C) != 0
+        return RangeImage(
+            xyz=q.astype(jnp.float32) * XYZ_QUANT_SCALE,
+            intensity=inten.astype(jnp.float32),
+            time=t.astype(jnp.float32),
+            valid=valid)
+
+    @property
+    def n_rings(self):
+        return self.shape[0]
+
+    @property
+    def max_points(self):
+        return self.shape[1]
+
+
+jax.tree_util.register_pytree_node(
+    ByteRangeImage,
+    lambda ri: ((ri.buf,), ri.shape),
+    lambda shape, children: ByteRangeImage(children[0], shape))
+
+
+def pack_range_image_bytes(q, inten8, t16, valid8, device=True):
+    """One wire buffer from the quantized planes (host numpy in, device out)."""
+    buf = np.concatenate([
+        np.ascontiguousarray(q).view(np.uint8).ravel(),
+        np.ascontiguousarray(inten8).ravel(),
+        np.ascontiguousarray(t16).view(np.uint8).ravel(),
+        np.ascontiguousarray(valid8).ravel()])
+    return ByteRangeImage(jnp.asarray(buf) if device else buf, q.shape[:2])
+
+
 def ensure_range_image(ri) -> "RangeImage":
-    return ri.unpack() if isinstance(ri, PackedRangeImage) else ri
+    if isinstance(ri, (PackedRangeImage, ByteRangeImage)):
+        return ri.unpack()
+    return ri
 
 
 class Keypoints(NamedTuple):
@@ -85,6 +141,73 @@ class Keypoints(NamedTuple):
         )
 
 
+def flatten_keypoints(kp: "Keypoints"):
+    """One (7K+1,) f32 log buffer per keypoint set, built in-graph so the
+    streaming step returns it as a fresh output buffer — logged references
+    need no per-leaf host-side jnp.copy (the structured keypoint outputs
+    alias the donated stream state; ~18 copy dispatches/frame otherwise).
+    Layout: x(K) y(K) z(K) intensity(K) time(K) ring(K) valid(K) count(1)."""
+    return jnp.concatenate([
+        kp.xyz[:, 0], kp.xyz[:, 1], kp.xyz[:, 2], kp.intensity, kp.time,
+        kp.ring.astype(jnp.float32), kp.valid.astype(jnp.float32),
+        kp.count.astype(jnp.float32)[None]])
+
+
+class KeypointsView:
+    """Lazy host view over a flattened keypoint log buffer: mimics the
+    `Keypoints` attribute surface (numpy arrays), pulling the device buffer
+    once on first access. Safe to hold across stream-state donation —
+    the flat buffer is an independent output of the streaming step."""
+
+    __slots__ = ("_buf", "_host")
+
+    def __init__(self, buf):
+        self._buf = buf
+        self._host = None
+
+    def _h(self):
+        if self._host is None:
+            self._host = np.asarray(self._buf)
+        return self._host
+
+    @property
+    def capacity(self):
+        return (self._buf.shape[0] - 1) // 7
+
+    @property
+    def xyz(self):
+        h, K = self._h(), self.capacity
+        return np.stack([h[:K], h[K:2 * K], h[2 * K:3 * K]], axis=-1)
+
+    @property
+    def intensity(self):
+        h, K = self._h(), self.capacity
+        return h[3 * K:4 * K]
+
+    @property
+    def time(self):
+        h, K = self._h(), self.capacity
+        return h[4 * K:5 * K]
+
+    @property
+    def ring(self):
+        h, K = self._h(), self.capacity
+        return h[5 * K:6 * K].astype(np.int32)
+
+    @property
+    def valid(self):
+        h, K = self._h(), self.capacity
+        return h[6 * K:7 * K] != 0.0
+
+    @property
+    def count(self):
+        return np.int32(self._h()[-1])
+
+    @property
+    def device_nbytes(self):
+        return int(self._buf.size) * 4
+
+
 def build_range_image(
     xyz: np.ndarray,
     intensity: np.ndarray,
@@ -93,7 +216,7 @@ def build_range_image(
     n_rings: int,
     max_ring_points: int,
     packed: bool = False,
-) -> "RangeImage | PackedRangeImage":
+) -> "RangeImage | ByteRangeImage":
     """Host-side bucketing of an unordered point list into a RangeImage.
 
     Points are appended to their ring in input order, matching the reference's
@@ -114,9 +237,7 @@ def build_range_image(
                 XYZ_QUANT_SCALE)
             if out is not None:
                 q, inten8, t16, valid8 = out
-                return PackedRangeImage(
-                    xyz_q=jnp.asarray(q), intensity=jnp.asarray(inten8),
-                    time=jnp.asarray(t16), valid=jnp.asarray(valid8.astype(bool)))
+                return pack_range_image_bytes(q, inten8, t16, valid8)
         else:
             out = native_mod.build_range_image_native(
                 xyz, intensity, laser_id, time, n_rings, max_ring_points)
@@ -158,12 +279,9 @@ def build_range_image(
 
     if packed:
         q = np.clip(np.round(img_xyz / XYZ_QUANT_SCALE), -32767, 32767).astype(np.int16)
-        return PackedRangeImage(
-            xyz_q=jnp.asarray(q),
-            intensity=jnp.asarray(np.clip(img_int, 0, 255).astype(np.uint8)),
-            time=jnp.asarray(img_time.astype(np.float16)),
-            valid=jnp.asarray(img_valid),
-        )
+        return pack_range_image_bytes(
+            q, np.clip(img_int, 0, 255).astype(np.uint8),
+            img_time.astype(np.float16), img_valid.astype(np.uint8))
     return RangeImage(
         xyz=jnp.asarray(img_xyz),
         intensity=jnp.asarray(img_int),

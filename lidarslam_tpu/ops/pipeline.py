@@ -25,6 +25,7 @@ from lidarslam_tpu import confidence as confidence_mod
 from lidarslam_tpu.config import EgoMotionMode, Keypoint, SlamConfig, UndistortionMode
 from lidarslam_tpu.core import se3
 from lidarslam_tpu.ops import extractor, icp, solver, undistortion, voxel_map
+from lidarslam_tpu.ops import frame as frame_mod
 from lidarslam_tpu.ops.frame import Keypoints, RangeImage, ensure_range_image
 
 
@@ -406,7 +407,8 @@ def process_frame_stream(ri: RangeImage, state: StreamState, stamp, az_res,
                          cfg: SlamConfig, map_cfgs: tuple, first_frame: bool,
                          extras=(), axis_name=None, n_shards: int = 1,
                          shard_maps: bool = False):
-    """One chained streaming step: returns (state', packed_out (64,), kps).
+    """One chained streaming step: returns (state', packed_out (64,),
+    kps_flat — one (7K+1,) log buffer per type, frame.flatten_keypoints).
 
     packed_out = FrameResult.packed (61) + origin_vox after this frame (3);
     poses in it are relative to the origin *before* this frame's roll."""
@@ -467,7 +469,11 @@ def _stream_step(kps, ri, state: StreamState, stamp, az_res, cfg: SlamConfig,
     )
     packed = jnp.concatenate([
         res.packed, (state.origin_vox + res.roll_offset).astype(jnp.float32)])
-    return new_state, packed, res.keypoints
+    # keypoint log buffers built in-graph: fresh output buffers, distinct
+    # from the (donated-next-call) state keypoints — the host logs them
+    # without any per-leaf defensive copies (frame.flatten_keypoints)
+    kps_flat = tuple(frame_mod.flatten_keypoints(kp) for kp in res.keypoints)
+    return new_state, packed, kps_flat
 
 
 def init_stream_state(cfg: SlamConfig, map_cfgs) -> StreamState:

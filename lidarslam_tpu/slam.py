@@ -32,6 +32,7 @@ from lidarslam_tpu import confidence as confidence_mod
 from lidarslam_tpu.config import (EgoMotionMode, Keypoint, MappingMode, SlamConfig)
 from lidarslam_tpu.core import se3
 from lidarslam_tpu.ops import extractor as extractor_mod
+from lidarslam_tpu.ops import frame as frame_mod
 from lidarslam_tpu.ops import pipeline, undistortion, voxel_map
 from lidarslam_tpu.ops.frame import Keypoints, build_range_image, estimate_azimuthal_resolution
 from lidarslam_tpu.sensors.constraints import ImuManager, WheelOdometryManager
@@ -298,16 +299,15 @@ class Slam:
         extras = self._stream_extras(stamp)
         first = not self._maps_populated and len(self._stream_pending) == 0 \
             and self.n_frames == 0
-        self._stream_state, packed, kps = self._process_stream(
-            ri, self._stream_state, jnp.float32(stamp),
-            jnp.float32(self.azimuthal_resolution), cfg, self._map_cfgs_tuple,
+        self._stream_state, packed, kps_flat = self._process_stream(
+            ri, self._stream_state, np.float32(stamp),
+            np.float32(self.azimuthal_resolution), cfg, self._map_cfgs_tuple,
             first, tuple(extras))
-        # the state (incl. these keypoint buffers) is donated next call, so
-        # logged references must be distinct device copies (made outside the
-        # jit: no host sync, guaranteed fresh buffers)
-        kps = jax.tree.map(jnp.copy, kps)
-        self._stream_pending.append({"stamp": stamp, "packed": jnp.copy(packed),
-                                     "kps": kps})
+        # packed and the flat keypoint-log buffers are fresh jit outputs,
+        # distinct from the (donated-next-call) state buffers: log the
+        # references directly, zero per-frame host-side device dispatches
+        self._stream_pending.append({"stamp": stamp, "packed": packed,
+                                     "kps_flat": kps_flat})
         self.last_stamp = frame["stamp"]
         return len(self._stream_pending) - 1
 
@@ -401,8 +401,11 @@ class Slam:
                 self._maps_populated = True
             self.map_origin = origin_after_vox.astype(np.float64) * res_m
             self._update_map_overflow(u["map_overflow"])
-            self.current_keypoints = {Keypoint(i): entry["kps"][i] for i in range(3)}
-            self._device_keypoints = entry["kps"]
+            # lazy views over the per-frame flat log buffers: nothing is
+            # pulled from the device unless a consumer actually reads them
+            self.current_keypoints = {
+                Keypoint(i): frame_mod.KeypointsView(entry["kps_flat"][i])
+                for i in range(3)}
             # motion-limit confidence per flushed frame (Slam.cxx:1391-1484);
             # checked against the log *before* this frame is appended, exactly
             # as the synchronous path does in _apply_result
@@ -418,6 +421,11 @@ class Slam:
                          "failure": u["failed"],
                          "comply_motion_limits": self.comply_motion_limits})
         self.maps = {k: self._stream_state.maps[int(k)] for k in cfg.used_types}
+        # the last frame's structured keypoints live in the stream state;
+        # safe to hand out — the segment ends here so they are never donated
+        # (a future segment re-seeds from scratch, sync _process donates
+        # only the maps)
+        self._device_keypoints = self._stream_state.prev_keypoints
         self._stream_pending = []
         # the stream segment ends here: the host is the source of truth again
         # and a future segment re-seeds (with map copies) so donation can
@@ -512,13 +520,12 @@ class Slam:
         extras = self._stream_extras(stamp)
         first = not self._maps_populated and len(self._stream_pending) == 0 \
             and self.n_frames == 0
-        self._stream_state, packed, kps_out = self._process_kp_stream(
-            kps, self._stream_state, jnp.float32(stamp),
-            jnp.float32(self.azimuthal_resolution), cfg, self._map_cfgs_tuple,
+        self._stream_state, packed, kps_flat = self._process_kp_stream(
+            kps, self._stream_state, np.float32(stamp),
+            np.float32(self.azimuthal_resolution), cfg, self._map_cfgs_tuple,
             first, tuple(extras))
-        kps_out = jax.tree.map(jnp.copy, kps_out)
-        self._stream_pending.append({"stamp": stamp, "packed": jnp.copy(packed),
-                                     "kps": kps_out})
+        self._stream_pending.append({"stamp": stamp, "packed": packed,
+                                     "kps_flat": kps_flat})
         self.last_stamp = frames[0]["stamp"]
         return len(self._stream_pending) - 1
 

@@ -72,9 +72,27 @@ def test_native_packed_quantization():
 
 
 def test_full_pipeline_uses_native():
-    from lidarslam_tpu.ops.frame import build_range_image, PackedRangeImage
+    from lidarslam_tpu.ops.frame import (build_range_image, ByteRangeImage,
+                                         ensure_range_image)
 
     xyz, inten, lid, t = _data(n=3000)
     ri = build_range_image(xyz, inten, lid, t, 16, 256, packed=True)
-    assert isinstance(ri, PackedRangeImage)
-    assert int(np.asarray(ri.valid).sum()) > 2000
+    # packed ingest ships one wire buffer (a single host->device transfer)
+    assert isinstance(ri, ByteRangeImage)
+    assert ri.shape == (16, 256)
+    assert int(np.asarray(ensure_range_image(ri).valid).sum()) > 2000
+
+
+def test_byte_range_image_roundtrip_matches_unpacked():
+    from lidarslam_tpu.ops.frame import build_range_image, ensure_range_image
+
+    xyz, inten, lid, t = _data(n=3000)
+    packed = ensure_range_image(build_range_image(xyz, inten, lid, t, 16, 256,
+                                                  packed=True))
+    plain = build_range_image(xyz, inten, lid, t, 16, 256, packed=False)
+    np.testing.assert_array_equal(np.asarray(packed.valid), np.asarray(plain.valid))
+    np.testing.assert_allclose(np.asarray(packed.xyz), np.asarray(plain.xyz),
+                               atol=XYZ_QUANT_SCALE * 0.51)
+    v = np.asarray(plain.valid)
+    np.testing.assert_allclose(np.asarray(packed.time)[v],
+                               np.asarray(plain.time)[v], rtol=1e-3, atol=2e-4)
