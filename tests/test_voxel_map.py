@@ -224,3 +224,102 @@ def test_capacity_overflow_is_counted():
     m2 = VoxelMapEmpty()
     m2 = _add(m2, pts)
     assert int(m2.overflow) == 0
+
+
+class _OracleGrid:
+    """Sequential dict-grid oracle of RollingGrid::Add semantics."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.leaves = {}   # key -> dict(xyz, inten, time, count, fixed)
+
+    def _key(self, p):
+        half = vm.half_extent(self.cfg)
+        li = np.floor((np.asarray(p) + half) / self.cfg.leaf_size).astype(int)
+        n_leaf = int(np.ceil(2 * half / self.cfg.leaf_size)) + 1
+        if np.any(li < 0) or np.any(li >= n_leaf):
+            return None
+        return tuple(li)
+
+    def add(self, pts, inten, t, fixed=False):
+        mode = self.cfg.sampling
+        groups = {}
+        for p, i in zip(np.asarray(pts, np.float32), np.asarray(inten, np.float32)):
+            k = self._key(p)
+            if k is not None:
+                groups.setdefault(k, []).append((p, i))
+        for k, items in groups.items():
+            old = self.leaves.get(k)
+            if old is not None and old["fixed"]:
+                continue
+            # batch winner per mode
+            if mode in (SamplingMode.FIRST, SamplingMode.CENTROID):
+                bp, bi = items[0]
+            elif mode == SamplingMode.LAST:
+                bp, bi = items[-1]
+            elif mode == SamplingMode.MAX_INTENSITY:
+                bp, bi = max(items, key=lambda x: x[1])
+            else:
+                half = vm.half_extent(self.cfg)
+                center = (np.floor((items[0][0] + half) / self.cfg.leaf_size) + 0.5) \
+                    * self.cfg.leaf_size - half
+                bp, bi = min(items, key=lambda x: np.linalg.norm(x[0] - center))
+            if mode == SamplingMode.CENTROID:
+                bp = np.mean([p for p, _ in items], axis=0)
+            cnt = old["count"] if old else 0
+            if old is None:
+                xyz, it = bp, bi
+            elif mode in (SamplingMode.FIRST,):
+                xyz, it = old["xyz"], old["inten"]
+            elif mode == SamplingMode.LAST:
+                xyz, it = bp, bi
+            elif mode == SamplingMode.MAX_INTENSITY:
+                xyz, it = (bp, bi) if bi > old["inten"] else (old["xyz"], old["inten"])
+            elif mode == SamplingMode.CENTER_POINT:
+                half = vm.half_extent(self.cfg)
+                center = (np.floor((bp + half) / self.cfg.leaf_size) + 0.5) \
+                    * self.cfg.leaf_size - half
+                xyz, it = (bp, bi) if np.linalg.norm(bp - center) < \
+                    np.linalg.norm(old["xyz"] - center) else (old["xyz"], old["inten"])
+            else:  # CENTROID blend, batch mean weighted as one sample
+                xyz = (old["xyz"] * cnt + bp) / (cnt + 1.0)
+                it = old["inten"]
+            self.leaves[k] = {"xyz": np.asarray(xyz, np.float32), "inten": it,
+                              "time": t, "count": cnt + 1, "fixed": fixed}
+
+
+@pytest.mark.parametrize("mode", [SamplingMode.FIRST, SamplingMode.LAST,
+                                  SamplingMode.MAX_INTENSITY,
+                                  SamplingMode.CENTER_POINT,
+                                  SamplingMode.CENTROID])
+def test_add_points_matches_sequential_oracle(mode):
+    """Randomized differential test of the merge-based add_points against a
+    sequential dict-grid oracle, several adds deep (dups, revisits, misses)."""
+    cfg = _cfg(mode)
+    rng = np.random.default_rng(42 + int(mode))
+    m = VoxelMapEmpty(cfg)
+    oracle = _OracleGrid(cfg)
+    for step in range(4):
+        n = 300
+        # cluster points so leaves collide both within and across batches
+        pts = (rng.integers(-6, 6, (n, 3)) * 0.5
+               + rng.uniform(0.05, 0.45, (n, 3))).astype(np.float32)
+        inten = rng.uniform(0, 100, n).astype(np.float32)
+        m = _add(m, pts, inten=inten, t=float(step), cfg=cfg)
+        oracle.add(pts, inten, float(step))
+    v = np.asarray(m.valid)
+    got_xyz = np.asarray(m.xyz)[v]
+    got_cnt = np.asarray(m.count)[v]
+    got_int = np.asarray(m.intensity)[v]
+    want = oracle.leaves
+    assert len(got_xyz) == len(want)
+    # match leaves by key
+    half = vm.half_extent(cfg)
+    for p, c, it in zip(got_xyz, got_cnt, got_int):
+        k = tuple(np.floor((p + half) / cfg.leaf_size).astype(int))
+        assert k in want, f"unexpected leaf {k}"
+        o = want[k]
+        np.testing.assert_allclose(p, o["xyz"], atol=2e-5)
+        assert c == o["count"], (k, c, o["count"])
+        if mode != SamplingMode.CENTROID:
+            np.testing.assert_allclose(it, o["inten"], atol=1e-5)
