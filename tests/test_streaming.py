@@ -76,3 +76,52 @@ def test_stream_partial_flush(frames):
     gt0 = frames[0]["gt_pose"]
     gt = se3.hmat_inverse(gt0) @ frames[-1]["gt_pose"]
     assert np.linalg.norm(outs2[-1]["pose"][:3, 3] - gt[:3, 3]) < 0.15
+
+
+def test_logged_keypoints_survive_later_segments(frames):
+    """Donation-safety regression: the keypoint log entries captured at one
+    flush must stay readable (not invalidated by buffer donation) after a
+    NEW streaming segment and more flushes run. The log buffers are fresh
+    in-graph outputs (frame.flatten_keypoints), never part of the donated
+    stream state."""
+    slam = Slam(_cfg())
+    for f in frames[:4]:
+        slam.add_frame_async(f)
+    slam.flush()
+    early = {k: v for k, v in slam.current_keypoints.items()}
+    early_counts = {k: int(v.count) for k, v in early.items()}
+    # a second segment donates new state buffers frame after frame
+    for f in frames[4:]:
+        slam.add_frame_async(f)
+    slam.flush()
+    for k, v in early.items():
+        assert int(v.count) == early_counts[k]
+        pts = v.xyz[: int(v.count)]
+        assert np.all(np.isfinite(pts))
+        assert v.valid[: int(v.count)].all()
+    # the last frame's device keypoints seed the synchronous path unscathed
+    # (fresh stamp so the duplicate-frame guard doesn't skip it)
+    again = dict(frames[-1])
+    again["stamp"] = float(frames[-1]["stamp"]) + 0.1
+    r = slam.add_frame(again)
+    assert not r["failure"]
+
+
+def test_log_keypoints_feed_pgo_after_streaming(frames):
+    """Flat-buffer log entries restore into PGO replay clouds."""
+    from lidarslam_tpu.io import storage
+
+    slam = Slam(_cfg())
+    for f in frames:
+        slam.add_frame_async(f)
+    slam.flush()
+    assert len(slam.log_keypoints) == len(slam.log_trajectory)
+    total = 0
+    for entry in slam.log_keypoints:
+        for obj in entry.values():
+            h = storage.restore(obj)
+            total += len(h.xyz)
+            assert h.xyz.dtype == np.float32
+    assert total > 0
+    mem = slam.get_log_memory_usage()
+    assert mem["device"] > 0
