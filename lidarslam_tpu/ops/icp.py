@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from lidarslam_tpu.config import Keypoint, MatchingConfig, SolverConfig, UndistortionMode
-from lidarslam_tpu.ops import matcher, solver, undistortion
+from lidarslam_tpu.ops import matcher, solver, undistortion, voxel_map
 from lidarslam_tpu.ops.voxel_map import PointIndex
 
 
@@ -92,6 +92,18 @@ def icp_register(
 
     prior_warp = make_warp(pose) if undistort else None
 
+    # loop-invariant map-side k-NN inputs, built OUTSIDE the fori body: XLA
+    # re-executes body producers every round, so coordinate planes / block
+    # AABBs computed inside the matcher would run icp_iters times per frame
+    k_of = {Keypoint.EDGE: params.edge_nb_neighbors,
+            Keypoint.PLANE: params.plane_nb_neighbors,
+            Keypoint.BLOB: params.blob_nb_neighbors}
+    prepared = [None, None, None]
+    for t in types:
+        ti = int(t)
+        if geoms[ti] is None and isinstance(inputs.index[ti], voxel_map.SubmapView):
+            prepared[ti] = voxel_map.prepare_knn_index(inputs.index[ti], k_of[t])
+
     # one fori_loop over ICP rounds: the matcher graph is traced once (compile
     # time) and the shrinking saturation schedule is computed from the round
     # index; early-exit/minimum-match guards are where-gated state
@@ -115,7 +127,8 @@ def icp_register(
             if undistort:
                 x = undistortion.warp_points(x, inputs.kp_time[ti], warp)
             blocks.append(match_fns[t](x, inputs.kp_valid[ti],
-                                       inputs.index[ti], pose, params, geoms[ti]))
+                                       inputs.index[ti], pose, params, geoms[ti],
+                                       prepared=prepared[ti]))
 
         it_counts = jnp.stack([b.n_matches.astype(jnp.int32) for b in blocks])
         if axis_name is not None:

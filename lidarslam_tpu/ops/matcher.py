@@ -92,7 +92,7 @@ def _finish(A6, P, X, weight, ok, status):
 
 
 def _knn(index: SubmapView, world, k, params: MatchingConfig, geom=None,
-         q_valid=None):
+         q_valid=None, prepared=None):
     """Neighbor search. Returns (d2 (Q,k), nbr (Q,k,3), rings (Q,k), found).
 
     `geom` is the static per-call index geometry: None for a plain local
@@ -117,17 +117,18 @@ def _knn(index: SubmapView, world, k, params: MatchingConfig, geom=None,
     # been rejected by the `near` check below anyway
     d2, idx = brute_knn(index, world, k,
                         prune_radius=float(params.max_neighbors_distance),
-                        q_valid=q_valid)
+                        q_valid=q_valid, prepared=prepared)
     nbr = index.xyz[idx]                       # (Q, k, 3) — post-top-k, small
     found = jnp.isfinite(d2)
     return d2, nbr, index.ring[idx], found
 
 
-def match_planes(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfig, geom):
+def match_planes(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfig, geom,
+                 prepared=None):
     """Point-to-plane matches (BuildPlaneMatch semantics)."""
     k = params.plane_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
-    d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid)
+    d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid, prepared)
 
     n_found = jnp.sum(found, axis=1)
     enough = kp_valid & (n_found >= k)
@@ -154,11 +155,12 @@ def match_planes(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConf
     return _finish(A, mean, kp_xyz, weight, ok, status)
 
 
-def match_edges(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfig, geom):
+def match_edges(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfig, geom,
+                prepared=None):
     """Point-to-line matches; neighbor filter per params.single_edge_per_ring."""
     k = params.edge_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
-    d2, nbr, rings, found = _knn(index, world, k, params, geom, kp_valid)
+    d2, nbr, rings, found = _knn(index, world, k, params, geom, kp_valid, prepared)
 
     if params.single_edge_per_ring:
         sel = _per_ring_filter(rings, found)
@@ -186,11 +188,12 @@ def match_edges(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfi
     return _finish(A, mean, kp_xyz, weight, ok, status)
 
 
-def match_blobs(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfig, geom):
+def match_blobs(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfig, geom,
+                prepared=None):
     """Point-to-ellipsoid matches (BuildBlobMatch semantics)."""
     k = params.blob_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
-    d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid)
+    d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid, prepared)
 
     n_found = jnp.sum(found, axis=1)
     enough = kp_valid & (n_found >= k)

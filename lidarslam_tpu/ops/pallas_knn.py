@@ -52,6 +52,7 @@ ConfidenceEstimators.cxx:39-63).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -177,10 +178,67 @@ def _spatial_order(queries, cell: float, q_valid=None):
     return jnp.argsort(code)
 
 
+def _geometry(M: int):
+    """Static kernel geometry for an M-slot map."""
+    RM = -(-max(M, 1) // LANES)
+    RM = -(-RM // ROW_BLOCK) * ROW_BLOCK
+    if RM > (1 << MAX_ROW_BITS):
+        raise ValueError(f"map capacity {M} exceeds the packed-row budget "
+                         f"({(1 << MAX_ROW_BITS) * LANES} slots)")
+    # rows the packed id must address, and the VMEM-resident group size
+    rg = min(RM, ROW_GROUP)
+    RM = -(-RM // rg) * rg
+    n_groups = RM // rg
+    nbg = rg // ROW_BLOCK            # row blocks per group
+    row_bits = max(8, (RM - 1).bit_length())
+    return RM, rg, n_groups, nbg, row_bits
+
+
+class MapPlanes(NamedTuple):
+    """Loop-invariant map-side kernel inputs: the (RM, LANES) coordinate
+    planes and per-ROW_BLOCK AABBs. The submap only changes when the map
+    is updated (keyframes), but the matcher runs inside the ICP fori_loop —
+    computing these per call re-executes them every round (XLA does not
+    hoist invariants out of while bodies; see docs/PERFORMANCE.md). Build
+    once per frame with `prepare_map` and pass to `bucketed_knn`."""
+
+    px: jax.Array            # (RM, LANES) f32, BIG where invalid/padding
+    py: jax.Array
+    pz: jax.Array
+    bmin: jax.Array | None   # (RM/ROW_BLOCK, 3) valid-slot block AABBs
+    bmax: jax.Array | None
+
+
+def prepare_map(xyz, valid, with_blocks: bool = True) -> MapPlanes:
+    """Precompute the map-side kernel inputs (see MapPlanes)."""
+    M = xyz.shape[0]
+    RM, _, _, _, _ = _geometry(M)
+    Mp = RM * LANES
+
+    # invalid / padding slots get a BIG coordinate -> huge but finite d2
+    def coord(c):
+        p = jnp.where(valid, xyz[:, c], BIG)
+        return jnp.pad(p, (0, Mp - M), constant_values=BIG).reshape(RM, LANES)
+
+    bmin = bmax = None
+    if with_blocks:
+        # block AABBs over valid slots only (empty blocks -> +inf/-inf)
+        def bminmax(sign):
+            p = jnp.where(valid[:, None], xyz, sign * jnp.inf)
+            p = jnp.pad(p, ((0, Mp - M), (0, 0)),
+                        constant_values=sign * jnp.inf)
+            p = p.reshape(RM // ROW_BLOCK, ROW_BLOCK * LANES, 3)
+            return jnp.min(p, axis=1) if sign > 0 else jnp.max(p, axis=1)
+        bmin = bminmax(+1)                       # (NB, 3)
+        bmax = bminmax(-1)
+    return MapPlanes(px=coord(0), py=coord(1), pz=coord(2), bmin=bmin, bmax=bmax)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "prune_radius", "interpret"))
 def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
-                 interpret: bool = False, q_valid=None):
+                 interpret: bool = False, q_valid=None,
+                 prepared: MapPlanes | None = None):
     """k nearest valid map slots per query.
 
     Same contract as `voxel_map.brute_knn`: returns (sq_dists (Q, k)
@@ -194,33 +252,26 @@ def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
     `q_valid` (Q,) bool: dead query slots (fixed-capacity keypoint fill)
     sort to the end and whole dead tiles skip the kernel body; their
     neighbors come back +inf/missing.
+
+    `prepared`: precomputed `prepare_map(xyz, valid)` output — pass it when
+    the call sits inside a loop whose body does not change the map.
     """
     if k > KP:
         raise ValueError(f"k={k} exceeds the kernel output width {KP}")
     M = xyz.shape[0]
     Q = queries.shape[0]
-    RM = -(-max(M, 1) // LANES)
-    RM = -(-RM // ROW_BLOCK) * ROW_BLOCK
-    if RM > (1 << MAX_ROW_BITS):
-        raise ValueError(f"map capacity {M} exceeds the packed-row budget "
-                         f"({(1 << MAX_ROW_BITS) * LANES} slots)")
-    # rows the packed id must address, and the VMEM-resident group size
-    rg = min(RM, ROW_GROUP)
-    RM = -(-RM // rg) * rg
-    n_groups = RM // rg
-    nbg = rg // ROW_BLOCK            # row blocks per group
-    row_bits = max(8, (RM - 1).bit_length())
+    RM, rg, n_groups, nbg, row_bits = _geometry(M)
     row_mask = (1 << row_bits) - 1
     Mp = RM * LANES
     Qp = -(-Q // TQ) * TQ
     T = Qp // TQ
 
-    # invalid / padding slots get a BIG coordinate -> huge but finite d2
-    def coord(c):
-        p = jnp.where(valid, xyz[:, c], BIG)
-        return jnp.pad(p, (0, Mp - M), constant_values=BIG).reshape(RM, LANES)
-
-    px, py, pz = coord(0), coord(1), coord(2)
+    if prepared is None:
+        prepared = prepare_map(xyz, valid, with_blocks=prune_radius is not None)
+    px, py, pz = prepared.px, prepared.py, prepared.pz
+    if px.shape != (RM, LANES):
+        raise ValueError(f"prepared planes {px.shape} do not match the map "
+                         f"geometry ({RM}, {LANES})")
 
     order = inv = None
     n_valid = jnp.int32(Q)
@@ -244,15 +295,10 @@ def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
         qt = q.reshape(T, TQ, 3)
         tmin = jnp.min(qt, axis=1)               # (T, 3)
         tmax = jnp.max(qt, axis=1)
-        # block AABBs over valid slots only (empty blocks -> +inf/-inf)
-        def bminmax(sign):
-            p = jnp.where(valid[:, None], xyz, sign * jnp.inf)
-            p = jnp.pad(p, ((0, Mp - M), (0, 0)),
-                        constant_values=sign * jnp.inf)
-            p = p.reshape(RM // ROW_BLOCK, ROW_BLOCK * LANES, 3)
-            return jnp.min(p, axis=1) if sign > 0 else jnp.max(p, axis=1)
-        bmin = bminmax(+1)                       # (NB, 3)
-        bmax = bminmax(-1)
+        bmin, bmax = prepared.bmin, prepared.bmax
+        if bmin is None:   # prepared without blocks but pruning requested
+            blocks = prepare_map(xyz, valid, with_blocks=True)
+            bmin, bmax = blocks.bmin, blocks.bmax
         d = jnp.maximum(bmin[None] - tmax[:, None], tmin[:, None] - bmax[None])
         d = jnp.maximum(d, 0.0)
         boxd2 = jnp.sum(d * d, axis=-1)          # (T, NB)

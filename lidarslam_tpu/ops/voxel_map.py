@@ -452,9 +452,32 @@ class SubmapView(NamedTuple):
     valid: jax.Array   # (M,) bool
 
 
+def _pallas_eligible(M: int, k: int, recall_target: float,
+                     use_pallas: bool | None) -> bool:
+    if use_pallas is not None:
+        return use_pallas
+    return (jax.default_backend() == "tpu" and recall_target < 1.0
+            and k <= 64 and M <= (1 << 11) * 1024)
+
+
+def prepare_knn_index(view: SubmapView, k: int, recall_target: float = 0.99,
+                      use_pallas: bool | None = None,
+                      with_blocks: bool = True):
+    """Precompute the loop-invariant map-side inputs of the Pallas k-NN
+    (pallas_knn.MapPlanes), or None when the Pallas path won't be taken.
+    Build it OUTSIDE any loop whose body re-queries an unchanged map (the
+    ICP rounds): XLA re-executes loop-body producers every iteration."""
+    if not _pallas_eligible(view.xyz.shape[0], k, recall_target, use_pallas):
+        return None
+    from lidarslam_tpu.ops import pallas_knn
+
+    return pallas_knn.prepare_map(view.xyz, view.valid, with_blocks=with_blocks)
+
+
 def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192,
               recall_target: float = 0.99, use_pallas: bool | None = None,
-              prune_radius: float | None = None, q_valid=None):
+              prune_radius: float | None = None, q_valid=None,
+              prepared=None):
     """k nearest valid points per query (exact distances, per-chunk selection
     via the TPU-optimized `approx_max_k` PartialReduce at `recall_target`;
     pass 1.0 for the fully exact `top_k` path).
@@ -466,14 +489,12 @@ def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192,
 
     Returns (sq_dists (Q, k) ascending with +inf for missing, rows (Q, k))."""
     M = view.xyz.shape[0]
-    if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu" and recall_target < 1.0
-                      and k <= 64 and M <= (1 << 11) * 1024)
+    use_pallas = _pallas_eligible(M, k, recall_target, use_pallas)
     if use_pallas:
         from lidarslam_tpu.ops import pallas_knn
         return pallas_knn.bucketed_knn(view.xyz, view.valid, queries, k,
                                        prune_radius=prune_radius,
-                                       q_valid=q_valid)
+                                       q_valid=q_valid, prepared=prepared)
     Q = queries.shape[0]
     qx, qy, qz = queries[:, 0:1], queries[:, 1:2], queries[:, 2:3]
     chunk = min(chunk, M)
