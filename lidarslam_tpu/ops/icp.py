@@ -154,9 +154,22 @@ def icp_register(
         active = step_ok & ~converged
         return pose, active, failed, total, counts, H, statuses, weights
 
+    # while_loop, not fori: the reference BREAKS out of the ICP loop when LM
+    # converges in one step (Slam.cxx:950, 1151). A fori body would still
+    # execute the remaining rounds' matcher+kernel+LM with where-gated
+    # results — each skipped round saves a full match+solve on device.
     state = (pose, active, failed, total, counts, H, statuses, weights)
-    pose, active, failed, total, counts, H, statuses, weights = \
-        jax.lax.fori_loop(0, icp_iters, body, state)
+
+    def w_cond(carry):
+        it, st = carry
+        return (it < icp_iters) & st[1]   # st[1] = active
+
+    def w_body(carry):
+        it, st = carry
+        return it + 1, body(it, st)
+
+    _, state = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), state))
+    pose, active, failed, total, counts, H, statuses, weights = state
 
     final_warp = None
     if undistort:
