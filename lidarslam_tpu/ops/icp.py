@@ -62,6 +62,7 @@ def icp_register(
     time_range=(0.0, 0.0),
     max_extrapolation_ratio: float = 3.0,
     extras=(),
+    prepared=None,
 ) -> ICPResult:
     """Run the full ICP-LM loop. All structure args must be static.
 
@@ -98,10 +99,11 @@ def icp_register(
     k_of = {Keypoint.EDGE: params.edge_nb_neighbors,
             Keypoint.PLANE: params.plane_nb_neighbors,
             Keypoint.BLOB: params.blob_nb_neighbors}
-    prepared = [None, None, None]
+    prepared = list(prepared) if prepared is not None else [None, None, None]
     for t in types:
         ti = int(t)
-        if geoms[ti] is None and isinstance(inputs.index[ti], voxel_map.SubmapView):
+        if prepared[ti] is None and geoms[ti] is None \
+                and isinstance(inputs.index[ti], voxel_map.SubmapView):
             prepared[ti] = voxel_map.prepare_knn_index(inputs.index[ti], k_of[t])
 
     # one fori_loop over ICP rounds: the matcher graph is traced once (compile

@@ -29,6 +29,18 @@ from lidarslam_tpu.ops import frame as frame_mod
 from lidarslam_tpu.ops.frame import Keypoints, RangeImage, ensure_range_image
 
 
+class SubmapCache(NamedTuple):
+    """Lazily rebuilt submap selection, the TPU analog of the reference's
+    kd-tree validity discipline (Slam.cxx:1008-1035: BuildSubMapKdTree runs
+    only when the map update invalidated it). `selected` is the submap mask
+    over map slots; `planes` is the Pallas k-NN map prep
+    (pallas_knn.MapPlanes) or None off the Pallas path. Rebuilt under
+    lax.cond when `cache_stale`, i.e. on the first frame after a keyframe."""
+
+    selected: jax.Array   # (M,) bool
+    planes: object        # pallas_knn.MapPlanes or None (static per process)
+
+
 class FrameInputs(NamedTuple):
     """Per-frame traced scalars/poses (MAP-frame where positional)."""
 
@@ -44,6 +56,10 @@ class FrameInputs(NamedTuple):
     # (LidarSlamNode.cxx:285-301) flips this live with zero recompilation —
     # it is a data input, not part of the static config
     map_update: jax.Array = True  # () bool
+    # per-type SubmapCache (None = caching disabled for that type: sharded
+    # runs, per-frame decay, or no cache state threaded by the caller)
+    submap_cache: tuple = (None, None, None)
+    cache_stale: jax.Array = True  # () bool — map changed since last rebuild
 
 
 class FrameResult(NamedTuple):
@@ -67,6 +83,8 @@ class FrameResult(NamedTuple):
                                # transfer (pose, trel, counts, flags, cov,
                                # roll, map overflow); the per-frame sync
                                # fetches only this
+    submap_cache: tuple = (None, None, None)  # per-type SubmapCache out
+    cache_stale: jax.Array = True             # () bool for the next frame
 
 PACKED_LEN = 61
 
@@ -96,6 +114,34 @@ def unpack_scalars(packed):
         "roll_offset": packed[55:58].astype(np.int64),
         "map_overflow": packed[58:61].astype(np.int64),
     }
+
+
+def _loc_k(cfg: SlamConfig, ti: int) -> int:
+    p = cfg.loc_matching
+    return (p.edge_nb_neighbors, p.plane_nb_neighbors, p.blob_nb_neighbors)[ti]
+
+
+def init_submap_cache(cfg: SlamConfig, map_cfgs, sharded: bool = False):
+    """Empty per-type SubmapCache tuple with the exact traced structure the
+    pipeline produces (stale=True forces a rebuild on first use). `sharded`
+    runs get no cache (the slab path recomputes per frame)."""
+    caches = [None, None, None]
+    if sharded:
+        return tuple(caches)
+    for t in cfg.used_types:
+        ti = int(t)
+        mc = map_cfgs[ti]
+        if mc.decaying_threshold > 0:   # per-frame decay => per-frame submap
+            continue
+        M = mc.capacity
+        sel = jnp.zeros((M,), bool)
+        planes = None
+        if voxel_map._pallas_eligible(M, _loc_k(cfg, ti), 0.99, None):
+            from lidarslam_tpu.ops import pallas_knn
+
+            planes = pallas_knn.prepare_map(jnp.zeros((M, 3), jnp.float32), sel)
+        caches[ti] = SubmapCache(selected=sel, planes=planes)
+    return tuple(caches)
 
 
 def _shard_slice(arr, axis_name, n_shards):
@@ -221,11 +267,14 @@ def process_keypoints(
         statuses = tuple(jnp.zeros(kps[int(t)].xyz.shape[0], jnp.uint8) for t in types)
         wts = tuple(jnp.zeros(kps[int(t)].xyz.shape[0], jnp.float32) for t in types)
         indices = None
+        new_cache = list(inp.submap_cache)
     else:
         kp_xyz = [None, None, None]
         kp_valid = [None, None, None]
         kp_time = [None, None, None]
         index = [None, None, None]
+        prepared = [None, None, None]
+        new_cache = list(inp.submap_cache)
         for t in types:
             ti = int(t)
             mc = map_cfgs[ti]
@@ -245,9 +294,29 @@ def process_keypoints(
             big = jnp.float32(3e38)
             bbox_min = jnp.min(jnp.where(kp.valid[:, None], world, big), axis=0)
             bbox_max = jnp.max(jnp.where(kp.valid[:, None], world, -big), axis=0)
-            index[ti] = voxel_map.extract_submap_view(
-                m, bbox_min, bbox_max, (kp.count // 2).astype(jnp.int32), mc,
-                axis_name=axis_name if shard_maps else None)
+            if inp.submap_cache[ti] is not None and axis_name is None:
+                # reference kd-tree validity discipline (Slam.cxx:1008-1035):
+                # rebuild the submap selection + Pallas map prep only on the
+                # first frame after a map update; reuse the carried cache
+                # otherwise (the map is unchanged between keyframes)
+                def rebuild(m=m, kp=kp, bmin=bbox_min, bmax=bbox_max,
+                            mc=mc, ti=ti):
+                    view = voxel_map.extract_submap_view(
+                        m, bmin, bmax, (kp.count // 2).astype(jnp.int32), mc)
+                    planes = voxel_map.prepare_knn_index(view, _loc_k(cfg, ti))
+                    return SubmapCache(selected=view.valid, planes=planes)
+
+                cache = jax.lax.cond(inp.cache_stale, rebuild,
+                                     lambda ti=ti: inp.submap_cache[ti])
+                new_cache[ti] = cache
+                index[ti] = voxel_map.SubmapView(
+                    xyz=m.xyz, ring=jnp.zeros(m.xyz.shape[0], jnp.int32),
+                    valid=cache.selected)
+                prepared[ti] = cache.planes
+            else:
+                index[ti] = voxel_map.extract_submap_view(
+                    m, bbox_min, bbox_max, (kp.count // 2).astype(jnp.int32), mc,
+                    axis_name=axis_name if shard_maps else None)
         indices = index
 
         undist_kwargs = {}
@@ -270,7 +339,8 @@ def process_keypoints(
             solver_cfg=cfg.solver, icp_iters=cfg.localization_icp_max_iter,
             lm_max_iter=cfg.localization_lm_max_iter,
             min_matches=cfg.min_nb_matched_keypoints, geoms=geoms,
-            extras=inp.extras, axis_name=axis_name, **undist_kwargs)
+            extras=inp.extras, axis_name=axis_name, prepared=tuple(prepared),
+            **undist_kwargs)
 
         failed = res.failed
         pose = jnp.where(failed, inp.prev_pose, res.pose)  # rollback (Slam.cxx:1098-1107)
@@ -377,7 +447,13 @@ def process_keypoints(
         roll_offset=offset, is_keyframe=do_update, overlap=overlap, warp=warp,
         statuses=statuses, weights=wts,
         packed=pack_scalars(pose, trel, failed, total, counts, cov, offset,
-                            do_update, overlap, map_overflow))
+                            do_update, overlap, map_overflow),
+        # a map update (or roll) invalidates the submap selection; the next
+        # frame's matching rebuilds it lazily (Slam.cxx:1008 discipline).
+        # first_frame skips matching entirely, so its cache is never built —
+        # stay stale even when mapping is off (fixed preloaded maps)
+        submap_cache=tuple(new_cache),
+        cache_stale=jnp.asarray(True) if first_frame else do_update)
 
 
 class StreamState(NamedTuple):
@@ -401,6 +477,8 @@ class StreamState(NamedTuple):
     origin_vox: jax.Array  # (3,) int32 accumulated window shifts
     n_frames: jax.Array    # () int32
     map_update: jax.Array  # () bool, live SlamCommand map-update switch
+    submap_cache: tuple = (None, None, None)  # per-type SubmapCache
+    cache_stale: jax.Array = True             # () bool
 
 
 def process_frame_stream(ri: RangeImage, state: StreamState, stamp, az_res,
@@ -446,7 +524,8 @@ def _stream_step(kps, ri, state: StreamState, stamp, az_res, cfg: SlamConfig,
         trel_prior=trel, prev_pose=state.pose, t_prev=state.t_cur,
         stamp=stamp, az_resolution=az_res, kf_last_pose=state.kf_pose,
         kf_counter=state.kf_counter, extras=extras,
-        map_update=state.map_update)
+        map_update=state.map_update,
+        submap_cache=state.submap_cache, cache_stale=state.cache_stale)
     res = process_keypoints(kps, ri, state.maps, state.prev_keypoints, inp,
                             cfg, map_cfgs, first_frame, axis_name=axis_name,
                             n_shards=n_shards, shard_maps=shard_maps)
@@ -466,6 +545,8 @@ def _stream_step(kps, ri, state: StreamState, stamp, az_res, cfg: SlamConfig,
         origin_vox=state.origin_vox + res.roll_offset,
         n_frames=state.n_frames + 1,
         map_update=state.map_update,
+        submap_cache=res.submap_cache,
+        cache_stale=jnp.asarray(res.cache_stale),
     )
     packed = jnp.concatenate([
         res.packed, (state.origin_vox + res.roll_offset).astype(jnp.float32)])
@@ -476,7 +557,8 @@ def _stream_step(kps, ri, state: StreamState, stamp, az_res, cfg: SlamConfig,
     return new_state, packed, kps_flat
 
 
-def init_stream_state(cfg: SlamConfig, map_cfgs) -> StreamState:
+def init_stream_state(cfg: SlamConfig, map_cfgs,
+                      sharded: bool = False) -> StreamState:
     from lidarslam_tpu.ops.frame import Keypoints as _KP
 
     cap = cfg.extractor.max_keypoints
@@ -488,7 +570,9 @@ def init_stream_state(cfg: SlamConfig, map_cfgs) -> StreamState:
         t_cur=jnp.zeros(()), t_prev=jnp.zeros(()),
         kf_pose=jnp.zeros(6), kf_counter=jnp.zeros((), jnp.int32),
         origin_vox=jnp.zeros(3, jnp.int32), n_frames=jnp.zeros((), jnp.int32),
-        map_update=jnp.asarray(cfg.mapping_mode != 0))
+        map_update=jnp.asarray(cfg.mapping_mode != 0),
+        submap_cache=init_submap_cache(cfg, map_cfgs, sharded=sharded),
+        cache_stale=jnp.asarray(True))
 
 
 def _relative_pose(pose_a, pose_b):

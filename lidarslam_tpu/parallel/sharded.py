@@ -113,7 +113,7 @@ def _result_spec(cfg, shard_maps: bool):
         failed=P(), total_matches=P(), match_counts=P(), covariance=P(),
         position_error=P(), orientation_error=P(), roll_offset=P(),
         is_keyframe=P(), overlap=P(), warp=P(), statuses=P(), weights=P(),
-        packed=P())
+        packed=P(), submap_cache=P(), cache_stale=P())
 
 
 def process_frame_spmd(ri, maps, prev_kp, inp, cfg, map_cfgs, first_frame,
@@ -169,7 +169,8 @@ def _stream_state_spec(cfg, shard_maps: bool):
     return pipeline.StreamState(
         maps=_maps_spec(cfg, True), prev_keypoints=P(), pose=P(),
         prev_pose=P(), t_cur=P(), t_prev=P(), kf_pose=P(), kf_counter=P(),
-        origin_vox=P(), n_frames=P(), map_update=P())
+        origin_vox=P(), n_frames=P(), map_update=P(),
+        submap_cache=P(), cache_stale=P())
 
 
 def process_keypoints_stream_spmd(kps, state, stamp, az_res, cfg, map_cfgs,

@@ -189,10 +189,20 @@ class Slam:
                                                cfg.wheel_odom_relative,
                                                cfg.sensor_time_offset)
         self.imu = ImuManager(cfg.imu_weight, cfg.sensor_time_offset)
+        self._invalidate_submaps()
         if reset_log:
             self.n_frames = 0
             self.log_trajectory: List[dict] = []  # {time, pose (4,4), covariance}
             self.log_keypoints: List[dict] = []   # device Keypoints per type
+
+    def _invalidate_submaps(self):
+        """Mark the cached submap selections stale (the reference's kd-tree
+        invalidation, RollingGrid submap validity): called whenever the maps
+        change outside the fused per-frame step (reset, PGO rebuild, map
+        load, stream-segment end)."""
+        self._submap_cache = pipeline.init_submap_cache(
+            self.cfg, self._map_cfgs_tuple, sharded=self.mesh is not None)
+        self._cache_stale = np.bool_(True)
 
     def _empty_keypoints(self):
         cap = self.cfg.extractor.max_keypoints
@@ -203,6 +213,7 @@ class Slam:
         pipeline (no-op otherwise). Must follow every map rebuild that
         bypasses the sharded insert path (PCD load, PGO rebuild, checkpoint
         restore)."""
+        self._invalidate_submaps()   # external map change = stale submaps
         if not self.shard_maps:
             return
         from lidarslam_tpu.parallel import sharded_map
@@ -317,7 +328,8 @@ class Slam:
         cfg = self.cfg
         if getattr(self, "_stream_state", None) is not None:
             return
-        self._stream_state = pipeline.init_stream_state(cfg, self._map_cfgs_tuple)
+        self._stream_state = pipeline.init_stream_state(
+            cfg, self._map_cfgs_tuple, sharded=self.mesh is not None)
         self._stream_state = self._stream_state._replace(
             map_update=jnp.asarray(self.mapping_mode != MappingMode.NONE))
         self._stream_pending = []
@@ -429,8 +441,10 @@ class Slam:
         self._stream_pending = []
         # the stream segment ends here: the host is the source of truth again
         # and a future segment re-seeds (with map copies) so donation can
-        # never invalidate host-held references
+        # never invalidate host-held references. The segment's submap cache
+        # dies with its (donated) state: start the sync path stale.
         self._stream_state = None
+        self._invalidate_submaps()
         return outs
 
     def add_frames(self, frames) -> dict:
@@ -586,7 +600,9 @@ class Slam:
             kf_last_pose=jnp.asarray(se3.hmat_to_pose(kf_rel), jnp.float32),
             kf_counter=jnp.int32(self.kf_counter),
             extras=tuple(extras),
-            map_update=np.bool_(self.mapping_mode != MappingMode.NONE))
+            map_update=np.bool_(self.mapping_mode != MappingMode.NONE),
+            submap_cache=self._submap_cache,
+            cache_stale=self._cache_stale)
 
     def _apply_result(self, res: pipeline.FrameResult, stamp, t0) -> dict:
         """One host sync for the scalar outputs, then float64 bookkeeping."""
@@ -601,6 +617,8 @@ class Slam:
 
         # ---- host bookkeeping ----
         self.maps = {k: res.maps[int(k)] for k in cfg.used_types}
+        self._submap_cache = res.submap_cache
+        self._cache_stale = res.cache_stale
         self._device_keypoints = res.keypoints
         self.current_keypoints = {Keypoint(i): res.keypoints[i] for i in range(3)}
         if cfg.verbosity >= 1:

@@ -109,3 +109,24 @@ def test_checkpoint_roundtrip(tmp_path):
     for f in frames[5:]:
         rb = b.add_frame(f)
     np.testing.assert_allclose(rb["pose"], ra["pose"], atol=5e-3)
+
+
+def test_submap_cache_rebuild_discipline(tmp_path):
+    """The cached submap selection goes stale exactly when the maps change:
+    after keyframe updates (Slam.cxx:1008-1035 kd-tree validity parity) and
+    after external map mutations (PCD load)."""
+    frames = synthetic.generate_sequence(n_frames=8, motion_distortion=False)
+    slam = Slam(_cfg())
+    prev_kf = 0
+    for f in frames:
+        slam.add_frame(f)
+        was_kf = slam.kf_counter > prev_kf
+        prev_kf = slam.kf_counter
+        assert bool(np.asarray(slam._cache_stale)) == bool(was_kf)
+    prefix = str(tmp_path / "m_")
+    slam.save_maps_to_pcd(prefix)
+    slam.load_maps_from_pcd(prefix)
+    assert bool(np.asarray(slam._cache_stale))
+    # and the next frame still matches after the invalidation
+    r = slam.add_frame({**frames[-1], "stamp": frames[-1]["stamp"] + 0.1})
+    assert r["n_matches"] > 100
