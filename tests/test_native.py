@@ -96,3 +96,29 @@ def test_byte_range_image_roundtrip_matches_unpacked():
     v = np.asarray(plain.valid)
     np.testing.assert_allclose(np.asarray(packed.time)[v],
                                np.asarray(plain.time)[v], rtol=1e-3, atol=2e-4)
+
+
+def test_flatten_keypoints_view_roundtrip():
+    """flatten_keypoints <-> KeypointsView layout contract (the streaming
+    keypoint-log wire format)."""
+    import jax.numpy as jnp
+    from lidarslam_tpu.ops.frame import Keypoints, KeypointsView, flatten_keypoints
+
+    rng = np.random.default_rng(0)
+    K = 96
+    kp = Keypoints(
+        xyz=jnp.asarray(rng.uniform(-5, 5, (K, 3)).astype(np.float32)),
+        intensity=jnp.asarray(rng.uniform(0, 255, K).astype(np.float32)),
+        time=jnp.asarray(rng.uniform(0, 0.1, K).astype(np.float32)),
+        ring=jnp.asarray(rng.integers(0, 64, K).astype(np.int32)),
+        valid=jnp.asarray(rng.uniform(size=K) < 0.7),
+        count=jnp.int32(42))
+    v = KeypointsView(flatten_keypoints(kp))
+    assert v.capacity == K
+    np.testing.assert_allclose(v.xyz, np.asarray(kp.xyz), rtol=1e-6)
+    np.testing.assert_allclose(v.intensity, np.asarray(kp.intensity), rtol=1e-6)
+    np.testing.assert_allclose(v.time, np.asarray(kp.time), rtol=1e-6)
+    np.testing.assert_array_equal(v.ring, np.asarray(kp.ring))
+    np.testing.assert_array_equal(v.valid, np.asarray(kp.valid))
+    assert int(v.count) == 42
+    assert v.device_nbytes == (7 * K + 1) * 4
