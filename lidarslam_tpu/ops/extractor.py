@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from lidarslam_tpu.config import ExtractorConfig
 from lidarslam_tpu.core import pca
 from lidarslam_tpu.ops.frame import Keypoints, RangeImage
-from lidarslam_tpu.ops.prims import first_k_indices, prefix_shift
+from lidarslam_tpu.ops import prims
+from lidarslam_tpu.ops.prims import prefix_shift
 
 _NEG = -3.0e38
 _POS = 3.0e38
@@ -271,11 +272,13 @@ def _nms(score, cand, w, rounds, col, persistent_valid, maximize):
 
 
 def _mask_indices(mask, capacity):
-    """Ring-major indices of the first `capacity` set bits of a (R, C)
-    label mask plus the total count — the scatter-free sized-nonzero
-    (see prims.first_k_indices; sized jnp.nonzero lowers to a full-length
-    scatter-add, ~1 ms/call at 64-beam scale)."""
-    return first_k_indices(mask, capacity)
+    """Ring-major indices of `capacity` set bits of a (R, C) label mask
+    plus the kept count — the scatter-free sized-nonzero (sized jnp.nonzero
+    lowers to a full-length scatter-add, ~1 ms/call at 64-beam scale).
+    Beyond capacity the selection subsamples EVENLY over the sweep instead
+    of truncating (truncation would bias the keypoint set toward the first
+    rings; the reference keeps every labeled point, SSKE.cxx:575-589)."""
+    return prims.spread_k_indices(mask, capacity)
 
 
 def _compact(ri: RangeImage, mask, capacity):

@@ -9,6 +9,7 @@ here are plain vectorized adds/compares that XLA fuses.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -49,6 +50,47 @@ def rev_segment_scan(seg, xs):
         res = new
         s *= 2
     return res
+
+
+def spread_k_indices(mask, capacity):
+    """Flat indices of ~`capacity` EVENLY-SPACED set bits of `mask` (1-D or
+    2-D, row-major order), plus the kept count.
+
+    Like first_k_indices but when the population exceeds `capacity` the
+    selection subsamples uniformly across the whole mask instead of
+    truncating at the first `capacity` bits — truncation spatially biases
+    fixed-capacity keypoint sets toward the first rings of the sweep (the
+    reference keeps every keypoint and has no such bias; SSKE.cxx keeps all
+    labeled points). Bucketing uses an f32 rank ratio, so up to a few slots
+    may go unused right at saturation."""
+    if mask.ndim == 1:
+        flat = mask
+        n = mask.shape[0]
+        C = 1024 if n >= 1024 else 128 if n >= 128 else n
+        pad = (-n) % C
+        if pad:
+            flat = jnp.pad(flat, (0, pad))
+        m2 = flat.reshape(-1, C)
+    else:
+        m2 = mask
+    rows = prefix_shift(m2.astype(jnp.int32))            # in-row inclusive
+    rtot = rows[:, -1]
+    roff = prefix_shift(rtot[None, :])[0] - rtot         # exclusive row offsets
+    count = roff[-1] + rtot[-1]
+
+    def thinned():
+        rank = rows + roff[:, None]                      # global inclusive rank
+        ratio = jnp.float32(capacity) / jnp.maximum(count, 1)
+        bkt = jnp.floor(rank.astype(jnp.float32) * ratio)
+        bkt_prev = jnp.floor((rank - 1).astype(jnp.float32) * ratio)
+        keep = m2.astype(bool) & (bkt != bkt_prev)
+        if mask.ndim == 1:
+            return keep.reshape(-1)[:mask.shape[0]]
+        return keep
+
+    # under capacity (the common case) skip the thinning pass entirely
+    keep = jax.lax.cond(count > capacity, thinned, lambda: mask)
+    return first_k_indices(keep, capacity)
 
 
 def first_k_indices(mask, capacity):

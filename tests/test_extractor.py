@@ -175,9 +175,10 @@ def test_jit_compiles_once():
 
 
 def test_mask_indices_matches_nonzero():
-    """_mask_indices == sized jnp.nonzero (first-K set bits, ring-major) for
-    sparse/dense/empty/overflow masks, any (R, C) including C not divisible
-    by the 128-block."""
+    """_mask_indices == sized jnp.nonzero (ring-major) under capacity; at
+    saturation the selection subsamples evenly over the sweep instead of
+    truncating at the first rings. Sparse/dense/empty/overflow masks, any
+    (R, C) including C not divisible by the 128-block."""
     rng = np.random.default_rng(7)
     for R, C, K, p in [(16, 1024, 2048, 0.02), (64, 2048, 8192, 0.03),
                        (16, 64, 32, 0.9), (4, 128, 512, 0.0),
@@ -185,8 +186,16 @@ def test_mask_indices_matches_nonzero():
         m = rng.random((R, C)) < p
         ref = np.flatnonzero(m.ravel())
         got, cnt = extractor._mask_indices(jnp.asarray(m), K)
-        got = np.asarray(got)
-        exp = np.zeros(K, np.int64)
-        exp[:min(len(ref), K)] = ref[:K]
-        assert int(cnt) == len(ref)
-        np.testing.assert_array_equal(got, exp)
+        got, cnt = np.asarray(got), int(cnt)
+        if len(ref) <= K:
+            assert cnt == len(ref)
+            exp = np.zeros(K, np.int64)
+            exp[:len(ref)] = ref
+            np.testing.assert_array_equal(got, exp)
+        else:
+            # saturated: ~K picks, all real set bits, spanning the sweep
+            assert K - 4 <= cnt <= K
+            sel = got[:cnt]
+            assert np.all(m.ravel()[sel])
+            assert np.all(np.diff(sel) > 0)
+            assert sel[-1] >= ref[-(len(ref) // K + 1)]

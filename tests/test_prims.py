@@ -62,3 +62,30 @@ def test_first_k_indices_empty_and_full():
     idx, count = prims.first_k_indices(jnp.ones((64,), bool), 64)
     assert int(count) == 64
     np.testing.assert_array_equal(np.asarray(idx), np.arange(64))
+
+
+@pytest.mark.parametrize("n,capacity", [(1000, 64), (1000, 2000), (4096, 256)])
+def test_spread_k_indices_even_coverage(n, capacity):
+    rng = np.random.default_rng(n + capacity)
+    mask = rng.uniform(size=n) < 0.5
+    idx, kept = prims.spread_k_indices(jnp.asarray(mask), capacity)
+    idx, kept = np.asarray(idx), int(kept)
+    want = np.flatnonzero(mask)
+    if len(want) <= capacity:
+        # under capacity: identical to first_k_indices (keep everything)
+        assert kept == len(want)
+        np.testing.assert_array_equal(idx[:kept], want)
+    else:
+        # saturated: ~capacity bits kept, spread over the WHOLE index range
+        assert capacity - 4 <= kept <= capacity
+        sel = idx[:kept]
+        assert np.all(mask[sel])
+        assert np.all(np.diff(sel) > 0)          # still sorted / unique
+        # even spread: selections reach the tail of the population, and
+        # gaps between consecutive picks stay near the ideal stride
+        assert sel[-1] >= want[-int(np.ceil(len(want) / capacity))]
+        ranks = np.searchsorted(want, sel)
+        gaps = np.diff(ranks)
+        ideal = len(want) / capacity
+        assert gaps.max() <= np.ceil(ideal) + 1
+        assert gaps.min() >= np.floor(ideal) - 1
