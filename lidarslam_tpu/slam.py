@@ -914,6 +914,44 @@ class Slam:
                                                             self.map_cfgs[k])
         return xyz + self.map_origin.astype(np.float32), inten, t, fixed
 
+    def get_target_submap(self, k: Keypoint) -> np.ndarray:
+        """World-frame points of the submap currently targeted by the
+        matcher (Slam::GetTargetSubMap, Slam.h:158): the bbox + moving-object
+        selection built at the last kd-tree-style rebuild. Falls back to the
+        full map when no selection exists yet (before the first localization
+        or in configurations without a carried cache)."""
+        ti = int(k)
+        cache = None
+        if getattr(self, "_stream_state", None) is not None:
+            cache = self._stream_state.submap_cache[ti]
+            m = self._stream_state.maps[ti]
+        else:
+            cache = self._submap_cache[ti] if self._submap_cache else None
+            m = self.maps.get(k)
+        if m is None:
+            return np.zeros((0, 3), np.float32)
+        if cache is None:
+            return self.get_map_points(k)[0]
+        sel = np.asarray(cache.selected)
+        pts = np.asarray(m.xyz)[sel & np.asarray(m.valid)]
+        return pts + self.map_origin.astype(np.float32)
+
+    # --- live sensor-constraint tuning (Slam.h Set*Weight / time offset):
+    # the weights ride into the solver as traced data, so these take effect
+    # on the next frame with zero recompilation ---
+    def set_wheel_odom_weight(self, w: float):
+        self.wheel_odom.weight = float(w)
+
+    def set_gravity_weight(self, w: float):
+        self.imu.weight = float(w)
+
+    def set_sensor_time_offset(self, dt: float):
+        self.wheel_odom.time_offset = float(dt)
+        self.imu.time_offset = float(dt)
+
+    def get_sensor_time_offset(self) -> float:
+        return float(self.wheel_odom.time_offset)
+
     def get_keypoints(self, k: Keypoint, world: bool = False):
         kp = self.current_keypoints.get(k)
         if kp is None:

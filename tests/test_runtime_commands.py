@@ -119,3 +119,30 @@ def test_gps_commands():
     slam.execute_command(Slam.SET_SLAM_POSE_FROM_GPS,
                          pose=np.eye(4))
     assert np.allclose(slam.get_world_transform(), np.eye(4))
+
+
+def test_target_submap_and_live_sensor_tuning():
+    """GetTargetSubMap parity + runtime sensor-weight setters (Slam.h:158,
+    SetWheelOdomWeight/SetGravityWeight — traced data, no recompile)."""
+    import numpy as np
+    from lidarslam_tpu.config import Keypoint
+    from lidarslam_tpu.io import synthetic
+
+    frames = synthetic.generate_sequence(n_frames=4, motion_distortion=False)
+    slam = Slam(_cfg())
+    for f in frames:
+        slam.add_frame(f)
+    sub = slam.get_target_submap(Keypoint.PLANE)
+    full = slam.get_map_points(Keypoint.PLANE)[0]
+    assert 0 < len(sub) <= len(full)
+    # the submap is a subset of the map (same world frame)
+    fs = {tuple(np.round(p, 4)) for p in full}
+    assert all(tuple(np.round(p, 4)) in fs for p in sub[:50])
+    slam.set_wheel_odom_weight(2.5)
+    slam.set_gravity_weight(1.5)
+    slam.set_sensor_time_offset(0.01)
+    assert slam.wheel_odom.weight == 2.5
+    assert slam.imu.weight == 1.5
+    assert slam.get_sensor_time_offset() == 0.01
+    r = slam.add_frame({**frames[-1], "stamp": frames[-1]["stamp"] + 0.1})
+    assert r["n_matches"] > 0
