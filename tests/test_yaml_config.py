@@ -65,3 +65,26 @@ def test_loaded_config_runs():
     reg = slam.get_registered_frame(frames[-1])
     assert reg.shape == frames[-1]["xyz"].shape
     assert np.isfinite(reg).all()
+
+
+def test_reference_shipped_yaml_loads_directly():
+    """The reference's own production configs load through our loader —
+    the strongest namespace-parity check. Skipped when the reference tree
+    is not mounted (the test suite stays self-contained)."""
+    import os
+    import pytest
+
+    base = "/root/reference/ros_wrapping/lidar_slam/params"
+    if not os.path.isdir(base):
+        pytest.skip("reference tree not mounted")
+    from lidarslam_tpu.io.yaml_config import load_config
+
+    for name in ("slam_config_outdoor.yaml", "slam_config_indoor.yaml"):
+        path = os.path.join(base, name)
+        if not os.path.exists(path):
+            continue
+        cfg = load_config(path)
+        # spot-check a few deep fields made it through
+        assert cfg.extractor.min_distance_to_sensor > 0
+        assert cfg.plane_map.leaf_size > 0
+        assert 0 <= cfg.confidence.overlap_sampling_ratio <= 1
