@@ -104,3 +104,28 @@ def test_pose_reset(run):
     guess = se3.pose_to_hmat([1.0, 2.0, 3.0, 0, 0, 0.5])
     slam.set_world_transform_from_guess(guess)
     np.testing.assert_allclose(slam.get_world_transform(), guess)
+
+
+def test_vls128_class_config_smoke():
+    """128-beam (VLS-128-class) config compiles and tracks over a few
+    frames — the densest sensor axis of the bench surface (bench.py
+    --rings 128)."""
+    frames = synthetic.generate_sequence(
+        n_frames=4, motion_distortion=False,
+        sensor=synthetic.SensorModel(n_rings=128, n_azimuth=900,
+                                     range_noise=0.005))
+    cfg = SlamConfig(
+        extractor=ExtractorConfig(n_rings=128, max_ring_points=1024,
+                                  max_keypoints=4096),
+        edge_map=MapConfig(leaf_size=0.30, capacity=1 << 15, grid_size=26),
+        plane_map=MapConfig(leaf_size=0.60, capacity=1 << 15, grid_size=26),
+        blob_map=MapConfig(leaf_size=0.30, capacity=1 << 15, grid_size=26))
+    slam = Slam(cfg)
+    for f in frames:
+        r = slam.add_frame(f)
+    assert not r["failure"]
+    assert r["n_matches"] > 200
+    gt0 = frames[0]["gt_pose"]
+    gt = se3.hmat_inverse(gt0) @ frames[-1]["gt_pose"]
+    err = np.linalg.norm(r["pose"][:3, 3] - gt[:3, 3])
+    assert err < 0.2, err
