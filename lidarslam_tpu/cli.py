@@ -130,6 +130,72 @@ def cmd_run(args):
                       "out": args.out}))
 
 
+def cmd_extract(args):
+    """Standalone keypoint-extraction driver: run only the front-end over a
+    sweep sequence and dump per-type keypoint PCDs plus (optionally) a
+    per-point debug-score cloud. The vtkSpinningSensorKeypointExtractor
+    surface (paraview_wrapping vtkSSKE; debug arrays per SSKE.cxx:640-680),
+    detached from the full SLAM loop."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lidarslam_tpu.config import ExtractorConfig, KEYPOINT_NAMES
+    from lidarslam_tpu.io import pcd
+    from lidarslam_tpu.ops.extractor import extract_keypoints
+    from lidarslam_tpu.ops.frame import (build_range_image,
+                                         estimate_azimuthal_resolution)
+
+    if args.config:
+        from lidarslam_tpu.io.yaml_config import load_config
+        ecfg = load_config(args.config).extractor
+        if args.rings is not None:
+            import dataclasses
+            ecfg = dataclasses.replace(ecfg, n_rings=args.rings)
+    else:
+        ecfg = ExtractorConfig(n_rings=args.rings or 16)
+    frames = _frames_from_args(args)
+    os.makedirs(args.out, exist_ok=True)
+    extract = jax.jit(extract_keypoints, static_argnums=(2,))
+
+    summary = []
+    for i, f in enumerate(frames):
+        ri = build_range_image(f["xyz"], f["intensity"], f["laser_id"],
+                               f["time"], ecfg.n_rings, ecfg.max_ring_points)
+        az = float(estimate_azimuthal_resolution(ri))
+        ext = extract(ri, jnp.float32(az), ecfg)
+        counts = {}
+        for name, kp in (("edge", ext.edges), ("plane", ext.planes),
+                         ("blob", ext.blobs)):
+            if name == "blob" and not args.blobs:
+                continue
+            n = int(kp.count)
+            counts[name] = n
+            pcd.save_pcd(os.path.join(args.out, f"frame_{i:04d}_{name}.pcd"),
+                         np.asarray(kp.xyz)[:n],
+                         intensity=np.asarray(kp.intensity)[:n],
+                         time=np.asarray(kp.time)[:n],
+                         laser_id=np.asarray(kp.ring)[:n])
+        if args.debug:
+            m = np.asarray(ri.valid)
+            labels = sum(np.asarray(ext.debug[f"{KEYPOINT_NAMES[t]}_keypoint"],
+                                    np.float32) * (t + 1) for t in (0, 1, 2))
+            extra = {k: np.asarray(ext.debug[k], np.float32)[m]
+                     for k in ("sin_angle", "saliency", "depth_gap",
+                               "intensity_gap", "point_validity")}
+            extra["keypoint_label"] = labels[m]
+            pcd.save_pcd_fields(
+                os.path.join(args.out, f"frame_{i:04d}_debug.pcd"),
+                np.asarray(ri.xyz)[m], extra)
+        summary.append({"frame": i, "azimuthal_resolution": az, **counts})
+        if args.verbosity >= 1:
+            print(f"frame {i}: {counts}", file=sys.stderr)
+
+    with open(os.path.join(args.out, "extraction.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps({"frames": len(summary), "out": args.out}))
+
+
 def cmd_aggregate(args):
     """Offline re-aggregation: DISK keypoint log + Trajectory.csv ->
     world-frame PCD (the vtkSlam aggregated output, detached from a live
@@ -202,6 +268,23 @@ def main(argv=None):
                      help="write the keypoint log as PCDs here (DISK storage)")
     run.add_argument("--verbosity", type=int, default=0)
     run.set_defaults(fn=cmd_run)
+
+    ext = sub.add_parser("extract",
+                         help="run only the keypoint extractor over a sequence")
+    ext.add_argument("--config", help="reference-style yaml config")
+    ext.add_argument("--synthetic", type=int, default=0, metavar="N")
+    ext.add_argument("--pcd-dir")
+    ext.add_argument("--kitti-dir")
+    ext.add_argument("--limit", type=int, default=0)
+    ext.add_argument("--rate", type=float, default=10.0)
+    ext.add_argument("--rings", type=int, default=None)
+    ext.add_argument("--out", required=True)
+    ext.add_argument("--blobs", action="store_true", help="also dump blob keypoints")
+    ext.add_argument("--debug", action="store_true",
+                     help="dump per-point score clouds (SSKE debug arrays)")
+    ext.add_argument("--undistortion", type=int, default=0, help=argparse.SUPPRESS)
+    ext.add_argument("--verbosity", type=int, default=0)
+    ext.set_defaults(fn=cmd_extract)
 
     agg = sub.add_parser("aggregate",
                          help="re-aggregate a DISK keypoint log to one PCD")

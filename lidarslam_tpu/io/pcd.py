@@ -55,6 +55,45 @@ def save_pcd(path, xyz, intensity=None, time=None, laser_id=None, label=None,
                        fmt="%.7g")
 
 
+def save_pcd_fields(path, xyz, extra=None, binary=True):
+    """Write a PCD v0.7 file with arbitrary extra per-point float32 fields.
+
+    Used for the extractor debug-cloud export (the advanced-return arrays
+    vtkSlam attaches to its outputs, vtkSlam.cxx:327-398): `extra` maps field
+    name -> (N,) array, written as f4 after x y z.
+    """
+    xyz = np.asarray(xyz, np.float32)
+    n = len(xyz)
+    fields = [("x", "f4", xyz[:, 0]), ("y", "f4", xyz[:, 1]), ("z", "f4", xyz[:, 2])]
+    for name, data in (extra or {}).items():
+        fields.append((name, "f4", np.asarray(data, np.float32)))
+
+    names = " ".join(f[0] for f in fields)
+    sizes = " ".join(str(np.dtype(f[1]).itemsize) for f in fields)
+    types = " ".join({"f": "F", "i": "I", "u": "U"}[np.dtype(f[1]).kind] for f in fields)
+    counts = " ".join("1" for _ in fields)
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\n"
+        f"FIELDS {names}\n"
+        f"SIZE {sizes}\n"
+        f"TYPE {types}\n"
+        f"COUNT {counts}\n"
+        f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
+        f"DATA {'binary' if binary else 'ascii'}\n"
+    )
+    rec = np.zeros(n, dtype=[(f[0], f[1]) for f in fields])
+    for name, _, data in fields:
+        rec[name] = data
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        if binary:
+            f.write(rec.tobytes())
+        else:
+            np.savetxt(f, np.stack([rec[name].astype(np.float64)
+                                    for name, _, _ in fields], 1), fmt="%.7g")
+
+
 def load_pcd(path):
     """Read a PCD file -> dict of field arrays (at least x/y/z -> 'xyz')."""
     with open(path, "rb") as f:

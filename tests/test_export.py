@@ -116,3 +116,30 @@ def test_cli_run_aggregate(tmp_path):
     assert rc == 0
     d2 = pcd.load_pcd(str(tmp_path / "agg2.pcd"))
     assert len(d2["xyz"]) == len(data["xyz"])
+
+
+def test_cli_extract(tmp_path):
+    """Standalone extractor run (vtkSpinningSensorKeypointExtractor surface):
+    per-type keypoint PCDs + per-point debug-score cloud (SSKE.cxx:640-680)."""
+    from lidarslam_tpu import cli
+    out = str(tmp_path / "ext")
+    rc = cli.main(["extract", "--synthetic", "2", "--out", out, "--debug"])
+    assert rc == 0
+    edges = pcd.load_pcd(os.path.join(out, "frame_0001_edge.pcd"))
+    planes = pcd.load_pcd(os.path.join(out, "frame_0001_plane.pcd"))
+    assert 0 < len(edges["xyz"]) < len(planes["xyz"])
+    assert "laser_id" in edges and "time" in edges
+    assert not os.path.exists(os.path.join(out, "frame_0001_blob.pcd"))
+
+    dbg = pcd.load_pcd(os.path.join(out, "frame_0001_debug.pcd"))
+    for k in ("sin_angle", "saliency", "depth_gap", "intensity_gap",
+              "keypoint_label", "point_validity"):
+        assert k in dbg, k
+    # labels: 0 none, 1 edge, 2 plane, 3 blob; planes must dominate edges
+    lab = dbg["keypoint_label"]
+    assert (lab == 2).sum() > (lab == 1).sum() > 0
+    # every labeled keypoint passed the validity gates (SSKE.cxx:474-590)
+    assert dbg["point_validity"][lab > 0].all()
+
+    summary = json.load(open(os.path.join(out, "extraction.json")))
+    assert len(summary) == 2 and summary[1]["edge"] == len(edges["xyz"])
