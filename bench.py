@@ -127,9 +127,15 @@ def main():
             from lidarslam_tpu.utils import profiling
             logdir = tempfile.mkdtemp(prefix="lst_bench_prof_")
             with jax.profiler.trace(logdir):
-                for f in frames[n_total:]:
-                    slam.add_frame_async(f)
-                slam.flush()
+                # drive the SAME API as the benchmarked arm: busy/wall is
+                # only meaningful when both measure the same program
+                if args.stream:
+                    for f in frames[n_total:]:
+                        slam.add_frame_async(f)
+                    slam.flush()
+                else:
+                    for f in frames[n_total:]:
+                        slam.add_frame(f)
             xp = profiling.find_xplane(logdir)
             busy = profiling.device_busy_ms(xp) if xp is not None else 0.0
             if busy > 0.0:   # CPU runs have no TPU/Device plane

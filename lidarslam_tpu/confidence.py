@@ -19,7 +19,8 @@ from lidarslam_tpu.ops.voxel_map import SubmapView, brute_knn
 
 
 def lcp_overlap(sample_xyz, sample_valid, indices: Sequence[SubmapView],
-                leaf_sizes: Sequence[float], axis_name=None) -> jnp.ndarray:
+                leaf_sizes: Sequence[float], axis_name=None,
+                prepared=None) -> jnp.ndarray:
     """Mean best per-map Gaussian probability of having a close map neighbor.
 
     Args:
@@ -27,14 +28,19 @@ def lcp_overlap(sample_xyz, sample_valid, indices: Sequence[SubmapView],
       indices/leaf_sizes/geoms: one entry per map to test against.
       axis_name: set when `indices` are this device's slabs of mesh-sharded
         maps — the per-sample nearest distance then min-reduces over ICI.
+      prepared: optional per-map precomputed MapPlanes (loop-invariant
+        Pallas map prep, e.g. the matcher's submap cache) to reuse.
     Returns scalar overlap in [0, 1] (−1 when nothing to compare)."""
     import jax
 
     best = jnp.zeros(sample_xyz.shape[0])
-    for index, leaf in zip(indices, leaf_sizes):
-        # beyond ~6 sigma the Gaussian contribution underflows, so pruning
-        # the scan at 2 m is lossless for any leaf size in use
-        d2, _ = brute_knn(index, sample_xyz, 1, prune_radius=2.0)
+    for i, (index, leaf) in enumerate(zip(indices, leaf_sizes)):
+        # beyond 6 sigma = 2*leaf the Gaussian contribution underflows
+        # (exp(-18) ~ 1e-8), so pruning the scan there is lossless; keep a
+        # 2 m floor so small leaves still enjoy coarse AABB-block skipping
+        d2, _ = brute_knn(index, sample_xyz, 1,
+                          prune_radius=max(2.0, 2.0 * float(leaf)),
+                          prepared=None if prepared is None else prepared[i])
         d2 = d2[:, 0]
         if axis_name is not None:
             d2 = jax.lax.pmin(d2, axis_name)

@@ -90,6 +90,16 @@ def _smooth_with_distance(new, prev, dist):
     return innovation * new + (1.0 - innovation) * prev
 
 
+def _smooth_angle_with_distance(new, prev, dist):
+    """Same innovation blend along the shortest arc — a heading pair
+    straddling the +-pi seam (e.g. +3.13 / -3.13 rad, just south of due
+    west) must blend to ~pi, not to the 0-rad midpoint."""
+    innovation = min(dist / 0.5, 1.0)
+    delta = (new - prev + np.pi) % (2.0 * np.pi) - np.pi
+    a = prev + innovation * delta
+    return float((a + np.pi) % (2.0 * np.pi) - np.pi)
+
+
 class GpsToUtmConverter:
     """GPSFix stream -> UTM/local-map odometry stream.
 
@@ -170,15 +180,16 @@ class GpsToUtmConverter:
     def process(self, fix: dict):
         position = self._utm(fix)
 
-        # full orientation present (GpsToUtmNode.cxx:102-107)
-        if fix.get("roll") or fix.get("pitch") or fix.get("dip"):
-            rpy = np.deg2rad([fix.get("roll", 0.0), fix.get("pitch", 0.0),
-                              fix.get("dip", 0.0)])
+        # full orientation present (GpsToUtmNode.cxx:102-107). Presence =
+        # key supplied, so a measured 0.0 (level / due-east) still counts.
+        if any(fix.get(k) is not None for k in ("roll", "pitch", "dip")):
+            rpy = np.deg2rad([fix.get("roll") or 0.0, fix.get("pitch") or 0.0,
+                              fix.get("dip") or 0.0])
             return self._emit(fix, position, rpy)
 
         # bearing only: true bearing (clockwise from north, deg) -> ENU
         # heading (counter-clockwise from east, rad) (cxx:110-114)
-        if fix.get("track"):
+        if fix.get("track") is not None:
             yaw = np.deg2rad(90.0 - fix["track"])
             return self._emit(fix, position, (0.0, 0.0, yaw))
 
@@ -194,7 +205,7 @@ class GpsToUtmConverter:
             heading = float(np.arctan2(delta[1], delta[0]))
             pitch = float(-np.arcsin(delta[2] / d)) if d > 0 else 0.0
             if self._prev_rpy is not None:
-                heading = _smooth_with_distance(heading, self._prev_rpy[2], d)
+                heading = _smooth_angle_with_distance(heading, self._prev_rpy[2], d)
                 pitch = _smooth_with_distance(pitch, self._prev_rpy[1], d)
             self._prev_rpy = (0.0, pitch, heading)
             out = self._emit(prev, self._prev_pos, self._prev_rpy)

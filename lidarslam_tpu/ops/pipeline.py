@@ -367,7 +367,8 @@ def process_keypoints(
     overlap = jnp.full((), -1.0)
     if cfg.confidence.overlap_sampling_ratio > 0 and not first_frame and ri is not None:
         overlap = _overlap(ri, pose, indices, cfg, map_cfgs, warp,
-                           axis_name=axis_name if shard_maps else None)
+                           axis_name=axis_name if shard_maps else None,
+                           prepared=prepared)
 
     # ---------------- keyframe gate + map update ----------------
     kf_motion = _relative_pose(inp.kf_last_pose, pose)
@@ -591,8 +592,10 @@ def _set(tup, i, v):
 
 
 def _overlap(ri: RangeImage, pose, indices, cfg: SlamConfig, map_cfgs, warp,
-             axis_name=None):
-    """LCP overlap of a strided sample of the registered sweep."""
+             axis_name=None, prepared=(None, None, None)):
+    """LCP overlap of a strided sample of the registered sweep. `prepared`:
+    per-type MapPlanes carried in the submap cache — reuse them so the
+    overlap 1-NN doesn't re-run the Pallas map prep every frame."""
     flat = ri.xyz.reshape(-1, 3)
     valid = ri.valid.ravel()
     n = flat.shape[0]
@@ -609,4 +612,5 @@ def _overlap(ri: RangeImage, pose, indices, cfg: SlamConfig, map_cfgs, warp,
     return confidence_mod.lcp_overlap(
         world, svalid,
         [indices[int(t)] for t in types],
-        [map_cfgs[int(t)].leaf_size for t in types], axis_name=axis_name)
+        [map_cfgs[int(t)].leaf_size for t in types], axis_name=axis_name,
+        prepared=[prepared[int(t)] for t in types])

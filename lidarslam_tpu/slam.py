@@ -521,8 +521,12 @@ class Slam:
         frames = [f for f in frames if f["xyz"] is not None and len(f["xyz"])]
         if not frames:
             return -1
-        if len(frames) == 1 and int(frames[0].get("device_id", 0)) not in \
-                self.base_to_lidar_offsets:
+        dev0 = int(frames[0].get("device_id", 0))
+        if len(frames) == 1 and dev0 not in self.base_to_lidar_offsets \
+                and cfg.extractor_for(dev0) is cfg.extractor:
+            # single default-configured device: the fully-fused in-graph
+            # extraction path applies. A device with its own ExtractorConfig
+            # must keep the host-extraction path even without calibration.
             return self.add_frame_async(frames[0])
         skip = self._check_frame(frames[0])
         if skip:
@@ -918,23 +922,32 @@ class Slam:
         """World-frame points of the submap currently targeted by the
         matcher (Slam::GetTargetSubMap, Slam.h:158): the bbox + moving-object
         selection built at the last kd-tree-style rebuild. Falls back to the
-        full map when no selection exists yet (before the first localization
-        or in configurations without a carried cache)."""
+        full map when no valid selection exists — before the first
+        localization, or right after a map update/roll re-sorted the slots
+        the selection mask indexes (the matcher itself rebuilds lazily on
+        the next frame, Slam.cxx:1008). On-demand getter: in streaming mode
+        it syncs the device state."""
         ti = int(k)
-        cache = None
+        origin = self.map_origin.astype(np.float32)
         if getattr(self, "_stream_state", None) is not None:
             cache = self._stream_state.submap_cache[ti]
             m = self._stream_state.maps[ti]
+            stale = bool(np.asarray(self._stream_state.cache_stale))
+            res_m = voxel_map.effective_resolution(self.map_cfgs[k])
+            origin = (np.asarray(self._stream_state.origin_vox, np.float64)
+                      * res_m).astype(np.float32)
         else:
             cache = self._submap_cache[ti] if self._submap_cache else None
             m = self.maps.get(k)
+            stale = bool(self._cache_stale)
         if m is None:
             return np.zeros((0, 3), np.float32)
-        if cache is None:
-            return self.get_map_points(k)[0]
+        if cache is None or stale:
+            xyz, _, _, _ = voxel_map.gather_valid_points(m, False, self.map_cfgs[k])
+            return xyz + origin
         sel = np.asarray(cache.selected)
         pts = np.asarray(m.xyz)[sel & np.asarray(m.valid)]
-        return pts + self.map_origin.astype(np.float32)
+        return pts + origin
 
     # --- live sensor-constraint tuning (Slam.h Set*Weight / time offset):
     # the weights ride into the solver as traced data, so these take effect
@@ -1133,6 +1146,10 @@ class Slam:
             if fields["xyz"].shape[0] != self.map_cfgs[k].capacity:
                 raise ValueError("checkpoint map capacity mismatch")
             self.maps[k] = voxel_map.VoxelMap(**fields)
+            # re-baseline the host-side overflow tracker so the first frame
+            # after a restore doesn't report the whole pre-checkpoint drop
+            # count as fresh (and debug counters stay continuous)
+            self.map_overflow[int(k)] = int(np.asarray(fields["overflow"]))
         self._reshard_maps()
 
     def start_profiling(self, log_dir: str):

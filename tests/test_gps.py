@@ -154,3 +154,28 @@ def test_odom_to_gps_with_map_to_utm_transform():
 def test_odom_requires_zone():
     with pytest.raises(ValueError):
         odom_to_gps(np.zeros(3), rotation=np.eye(3))
+
+
+def test_zero_valued_orientation_is_a_measurement():
+    """track=0.0 (due north) / roll=pitch=dip=0.0 (level) must be treated
+    as supplied measurements, not as 'absent' (truthiness trap)."""
+    conv = GpsToUtmConverter()
+    out = conv.process({"lat": 45.0, "lon": 4.0, "alt": 0.0, "stamp": 0.0,
+                        "track": 0.0})
+    assert out is not None                       # emitted immediately
+    assert out["rpy"][2] == pytest.approx(np.pi / 2)   # north -> ENU yaw 90
+    conv = GpsToUtmConverter()
+    out = conv.process({"lat": 45.0, "lon": 4.0, "alt": 0.0, "stamp": 0.0,
+                        "roll": 0.0, "pitch": 0.0, "dip": 0.0})
+    assert out is not None
+    assert np.allclose(out["rpy"], 0.0)
+
+
+def test_heading_blend_wraps_at_pi():
+    """Motion-derived headings straddling the +-pi seam must blend along
+    the shortest arc (just-south-of-west stays ~pi, never ~0/east)."""
+    # walk just above/below due west: headings alternate around +-pi
+    outs = [o for o in (GpsToUtmConverter().process(f) for f in _walk_fixes(
+        [179.0, -179.0, 179.0, -179.0], step=0.1)) if o is not None]
+    for o in outs[1:]:
+        assert abs(o["rpy"][2]) > np.pi - 0.1, o["rpy"]

@@ -104,6 +104,10 @@ def test_checkpoint_roundtrip(tmp_path):
     b = Slam(_cfg())
     b.load_checkpoint(ckpt)
     assert b.n_frames == 5
+    # overflow tracker re-baselined from the restored maps: the first
+    # post-restore frame must not re-report pre-checkpoint drops
+    for k in b.cfg.used_types:
+        assert b.map_overflow[int(k)] == int(np.asarray(b.maps[k].overflow))
     np.testing.assert_allclose(b.get_world_transform(),
                                a.log_trajectory[4]["pose"], atol=1e-12)
     for f in frames[5:]:

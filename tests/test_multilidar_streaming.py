@@ -117,3 +117,30 @@ def test_streaming_multilidar_single_device_delegates():
     outs = slam.flush()
     assert len(outs) == 3
     assert slam.n_frames == 3
+
+
+def test_single_device_with_own_extractor_does_not_delegate():
+    """A lone frame from a device with its OWN ExtractorConfig must keep the
+    per-device host-extraction path even without a calibration offset —
+    delegating to add_frame_async would extract with the default config
+    (wrong n_rings), diverging from the synchronous add_frames path."""
+    _, f1 = _two_sensor_sequences(3)
+    ecfg8 = ExtractorConfig(n_rings=8, max_ring_points=1024, max_keypoints=1024)
+    slam = Slam(_cfg(device_extractors=((1, ecfg8),)))
+
+    def boom(*a, **k):
+        raise AssertionError("delegated to the default-extractor path")
+    slam.add_frame_async = boom
+    for f in f1:
+        assert slam.add_frames_async([f]) >= 0
+    outs = slam.flush()
+    assert len(outs) == 3
+
+    # a default-configured device without calibration still delegates
+    slam2 = Slam(_cfg())
+    called = []
+    orig = slam2.add_frame_async
+    slam2.add_frame_async = lambda f: (called.append(1), orig(f))[1]
+    f0, _ = _two_sensor_sequences(1)
+    slam2.add_frames_async([f0[0]])
+    assert called

@@ -146,3 +146,21 @@ def test_target_submap_and_live_sensor_tuning():
     assert slam.get_sensor_time_offset() == 0.01
     r = slam.add_frame({**frames[-1], "stamp": frames[-1]["stamp"] + 0.1})
     assert r["n_matches"] > 0
+
+
+def test_target_submap_stale_selection_falls_back_to_full_map():
+    """After a map update/roll re-sorts the slots, the carried selection
+    mask indexes dead positions — get_target_submap must fall back to the
+    full map until the matcher rebuilds (Slam.cxx:1008 discipline)."""
+    import numpy as np
+    from lidarslam_tpu.config import Keypoint
+    from lidarslam_tpu.io import synthetic
+
+    frames = synthetic.generate_sequence(n_frames=4, motion_distortion=False)
+    slam = Slam(_cfg())
+    for f in frames:
+        slam.add_frame(f)
+    slam._cache_stale = np.bool_(True)
+    sub = slam.get_target_submap(Keypoint.PLANE)
+    full = slam.get_map_points(Keypoint.PLANE)[0]
+    assert len(sub) == len(full)
