@@ -72,14 +72,16 @@ class LoggingStorage(enum.IntEnum):
 
     DEVICE keeps jax array references (zero host traffic, device memory);
     HOST pulls to numpy per frame; COMPRESSED quantizes to int16 @ 4 mm +
-    uint8 intensity (~2.4x smaller, the octree-compression analog); DISK
-    writes one binary PCD per frame under SlamConfig.logging_dir (the
-    PCDFileStorage analog). See io/storage.py."""
+    uint8 intensity (~2.4x smaller); OCTREE is the reference's
+    octree-compressed-RAM backend (Morton occupancy coding + DEFLATE,
+    ~5-8x, io/octree.py); DISK writes one binary PCD per frame under
+    SlamConfig.logging_dir (the PCDFileStorage analog). See io/storage.py."""
 
     DEVICE = 0
     HOST = 1
     COMPRESSED = 2
     DISK = 3
+    OCTREE = 4
 
 
 class MatchStatus(enum.IntEnum):

@@ -9,9 +9,12 @@ replay) by pluggable backends: raw PCL in RAM, octree-compressed in RAM
 - COMPRESSED: quantized in-RAM packing — int16 coordinates at 4 mm around
   the frame centroid (exact +-2 mm bound everywhere, unlike float16 whose
   error grows with range: 6 cm at 64 m), uint8 intensity, float16 relative
-  time, uint8 ring. ~2.4x smaller than HOST (24 -> 10 B/point), comparable to the reference's
-  octree ratio (slam_config_outdoor.yaml logging_storage comment) with
-  microsecond-scale pack cost instead of ~3 ms.
+  time, uint8 ring. ~2.4x smaller than HOST (24 -> 10 B/point) with
+  microsecond-scale pack cost.
+- OCTREE: the reference's octree-compressed-RAM backend (io/octree.py):
+  Morton occupancy coding + DEFLATE, ~5x smaller than HOST at the same
+  4 mm position bound (matches the ~5x the reference quotes for PCL's
+  octree compression, slam_config_outdoor.yaml logging_storage comment).
 - DISK: one binary PCD per (frame, type) under `directory`
   (PointCloudStorage.h:249-312 PCDFileStorage); only the path stays in RAM.
 
@@ -82,6 +85,11 @@ def store(kp, mode, directory: str = "", tag: str = ""):
             intensity=np.clip(h.intensity, 0, 255).astype(np.uint8),
             time=h.time.astype(np.float16),
             ring=np.clip(h.ring, 0, 255).astype(np.uint8))
+    if mode == LoggingStorage.OCTREE:
+        from lidarslam_tpu.io import octree
+
+        return octree.encode(h.xyz, intensity=h.intensity, time=h.time,
+                             ring=h.ring, resolution=QUANT)
     if mode == LoggingStorage.DISK:
         from lidarslam_tpu.io import pcd
 
@@ -103,6 +111,12 @@ def restore(obj) -> HostCloud:
             intensity=obj.intensity.astype(np.float32),
             time=obj.time.astype(np.float32),
             ring=obj.ring.astype(np.int32))
+    from lidarslam_tpu.io.octree import OctreeCloud, decode as _oct_decode
+
+    if isinstance(obj, OctreeCloud):
+        d = _oct_decode(obj)
+        return HostCloud(xyz=d["xyz"], intensity=d["intensity"],
+                         time=d["time"], ring=d["ring"])
     if isinstance(obj, DiskCloud):
         from lidarslam_tpu.io import pcd
 
@@ -119,8 +133,12 @@ def restore(obj) -> HostCloud:
 
 def memory_size(obj) -> dict:
     """{'ram': bytes, 'disk': bytes, 'device': bytes} held by one entry."""
+    from lidarslam_tpu.io.octree import OctreeCloud
+
     out = {"ram": 0, "disk": 0, "device": 0}
-    if isinstance(obj, (HostCloud, CompressedCloud)):
+    if isinstance(obj, OctreeCloud):
+        out["ram"] = len(obj.blob)
+    elif isinstance(obj, (HostCloud, CompressedCloud)):
         out["ram"] = sum(a.nbytes for a in obj if isinstance(a, np.ndarray))
     elif isinstance(obj, DiskCloud):
         out["ram"] = len(obj.path)

@@ -67,10 +67,10 @@ def load_config(path=None, text=None, tpu_overrides=None) -> SlamConfig:
         kw["logging_timeout"] = float(s["logging_timeout"])
     if "logging_storage" in s:
         # reference values (slam_config_outdoor.yaml logging_storage):
-        # 0 PCL in RAM -> HOST, 1 octree-compressed RAM -> COMPRESSED,
+        # 0 PCL in RAM -> HOST, 1 octree-compressed RAM -> OCTREE,
         # 2/3/4 PCD file variants -> DISK
         v = int(s["logging_storage"])
-        kw["logging_storage"] = (LoggingStorage.HOST, LoggingStorage.COMPRESSED,
+        kw["logging_storage"] = (LoggingStorage.HOST, LoggingStorage.OCTREE,
                                  LoggingStorage.DISK, LoggingStorage.DISK,
                                  LoggingStorage.DISK)[min(v, 4)]
     if "logging_dir" in s:

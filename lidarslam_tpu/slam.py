@@ -383,13 +383,19 @@ class Slam:
         res_m = voxel_map.effective_resolution(self._map_cfgs_tuple[int(cfg.used_types[0])])
         # one stacked transfer: a device_get per frame pays the transport
         # round-trip each time (~0.6 s for 120 frames over the TPU tunnel).
-        # Pad the stack to power-of-two lengths so segment length doesn't
-        # shape-specialize (= recompile) the stack op.
+        # Pad the stack to a FIXED chunk of 64 rows so the stack op never
+        # shape-specializes on queue depth: with power-of-two bucketing the
+        # first deep flush paid an XLA compile *inside* the steady state
+        # (the padding itself is noise — 64 rows of ~50 floats).
         n_pend = len(self._stream_pending)
-        cap = max(8, 1 << (n_pend - 1).bit_length())
-        arrs = [p["packed"] for p in self._stream_pending]
-        arrs += [arrs[-1]] * (cap - n_pend)
-        packed_all = np.asarray(jax.device_get(jnp.stack(arrs)))[:n_pend]
+        chunk = 64
+        rows = []
+        for start in range(0, n_pend, chunk):
+            arrs = [p["packed"] for p in self._stream_pending[start:start + chunk]]
+            n_real = len(arrs)
+            arrs += [arrs[-1]] * (chunk - n_real)
+            rows.append(np.asarray(jax.device_get(jnp.stack(arrs)))[:n_real])
+        packed_all = np.concatenate(rows, axis=0)
         outs = []
         for entry, packed in zip(self._stream_pending, packed_all):
             u = pipeline.unpack_scalars(packed[:pipeline.PACKED_LEN])
