@@ -71,6 +71,7 @@ class Slam:
                                                      two_d_mode=True))
         cfg = self.cfg
         self.mesh = mesh  # optional jax.sharding.Mesh for multi-chip ICP
+        self._cpu_mesh = None if mesh is not None else False  # lazy backend probe
         if len(cfg.used_types) == 0:
             raise ValueError("at least one keypoint type must be enabled")
         grid_sizes = {cfg.map_config(k).grid_size for k in cfg.used_types}
@@ -319,8 +320,23 @@ class Slam:
         # references directly, zero per-frame host-side device dispatches
         self._stream_pending.append({"stamp": stamp, "packed": packed,
                                      "kps_flat": kps_flat})
+        self._stream_backpressure(packed)
         self.last_stamp = frame["stamp"]
         return len(self._stream_pending) - 1
+
+    def _stream_backpressure(self, packed):
+        """On the virtual-device CPU backend, sharded streaming must not
+        keep several collective-bearing programs in flight: XLA:CPU runs the
+        8 "devices" on one shared thread pool, so psums from different
+        queued programs can interleave across ranks and deadlock
+        (InProcessCommunicator::AllReduce aborts via AwaitAndLogIfStuck).
+        Real TPU meshes order launches per chip, so this stays fully async
+        there; on CPU meshes (tests) we serialize program completion."""
+        if self.mesh is not None and self._cpu_mesh is None:
+            import jax as _jax
+            self._cpu_mesh = _jax.default_backend() == "cpu"
+        if self._cpu_mesh:
+            jax.block_until_ready(packed)
 
     def _ensure_stream_state(self):
         """Create (and seed from host state) the device-resident stream
@@ -550,6 +566,7 @@ class Slam:
             first, tuple(extras))
         self._stream_pending.append({"stamp": stamp, "packed": packed,
                                      "kps_flat": kps_flat})
+        self._stream_backpressure(packed)
         self.last_stamp = frames[0]["stamp"]
         return len(self._stream_pending) - 1
 
