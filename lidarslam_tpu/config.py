@@ -144,18 +144,6 @@ class MapConfig:
     # --- TPU capacities ---
     capacity: int = 1 << 17        # max stored map points (one per leaf)
     submap_capacity: int = 1 << 16  # max points in an extracted submap index
-    # neighbor-search bucket = bucket_factor * leaf_size; a bucket then holds
-    # at most bucket_factor^3 leaves, so bucket_capacity = bucket_factor^3
-    # guarantees no overflow.
-    bucket_factor: int = 4
-    # how many rings of buckets to search around the query bucket
-    # (1 -> 27 cells covering >= 1 bucket edge of radius, 2 -> 125 cells)
-    search_rings: int = 2
-    # dense submap cell table (the k-NN structure the matcher queries):
-    # spatial extent of the per-frame submap window and slots per cell
-    submap_extent_xy: float = 180.0   # [m]
-    submap_extent_z: float = 48.0     # [m]
-    bucket_capacity: int = 32         # point slots per cell (overflow dropped)
 
 
 @dataclass(frozen=True)
@@ -219,6 +207,15 @@ class ConfidenceConfig:
 class SlamConfig:
     """Top-level config, mirroring Slam.h:402-694."""
 
+    # streaming dispatch window: `add_frame_async` buffers this many sweeps
+    # host-side and runs them as ONE device dispatch (a lax.scan chaining the
+    # per-sweep steps), amortizing the per-dispatch host/link overhead that
+    # dominates when the device sits behind a high-latency tunnel. 1 =
+    # dispatch every sweep immediately (adds no latency). Frames carrying
+    # external-sensor constraints and partial windows at flush() fall back
+    # to the per-sweep dispatch, so results are identical for any value.
+    stream_window: int = 8
+
     # general
     use_edges: bool = True
     use_planes: bool = True
@@ -268,9 +265,9 @@ class SlamConfig:
     device_extractors: tuple = ()
     # per-keypoint-type maps with reference leaf sizes (Slam.cxx:155-157);
     # search rings sized for ~2.4 m guaranteed k-NN coverage per type
-    edge_map: MapConfig = MapConfig(leaf_size=0.30, search_rings=2)
-    plane_map: MapConfig = MapConfig(leaf_size=0.60, search_rings=1)
-    blob_map: MapConfig = MapConfig(leaf_size=0.30, search_rings=2)
+    edge_map: MapConfig = MapConfig(leaf_size=0.30)
+    plane_map: MapConfig = MapConfig(leaf_size=0.60)
+    blob_map: MapConfig = MapConfig(leaf_size=0.30)
     # ego-motion matching defaults (Slam.h:614-641)
     ego_matching: MatchingConfig = MatchingConfig(
         single_edge_per_ring=True,

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from lidarslam_tpu.config import Keypoint, MatchingConfig, SolverConfig, UndistortionMode
 from lidarslam_tpu.ops import matcher, solver, undistortion, voxel_map
-from lidarslam_tpu.ops.voxel_map import PointIndex
 
 
 class ICPInputs(NamedTuple):
@@ -29,7 +28,7 @@ class ICPInputs(NamedTuple):
 
     kp_xyz: tuple       # (Q, 3) per type, BASE coordinates (map-origin-relative target)
     kp_valid: tuple     # (Q,) per type
-    index: tuple        # PointIndex per type
+    index: tuple        # SubmapView per type
     kp_time: tuple = (None, None, None)  # (Q,) per type, for undistortion
 
 

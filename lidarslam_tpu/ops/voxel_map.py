@@ -20,14 +20,14 @@ with dense fixed-capacity arrays and XLA sorts:
 - **Decay** (ClearOldPoints 325-350) and **submap extraction with
   moving-object rejection + fallback** (BuildSubMapKdTree 362-442) are masked
   dense ops.
-- **k-NN** replaces kd-tree queries with a bucket index: points sorted by a
-  coarse bucket key (bucket = bucket_factor * leaf, so a bucket holds at most
-  bucket_factor^3 leaves and the candidate gather can never overflow);
-  queries probe the (2r+1)^3 neighboring buckets via `searchsorted`, gather
-  candidates, and `top_k` the k nearest. Exact within the searched radius;
-  queries whose true neighbors lie beyond it see them as missing, which the
-  matcher's not-enough-neighbors / too-far gates absorb (the same role the
-  5 m MaxNeighborsDistance gate plays in the reference).
+- **k-NN** replaces kd-tree queries with a masked `SubmapView` over the map
+  slots: the matcher scans it either brute-force in chunks (`brute_knn`, pure
+  VPU planar differences + top-k, exact) or with the fused Pallas kernel
+  (`ops/pallas_knn.py`, distance-pruned, recall >= the configured target).
+  Queries whose neighbors lie beyond `MaxNeighborsDistance` are absorbed by
+  the matcher's not-enough-neighbors / too-far gates, exactly as the 5 m
+  gate does in the reference. This is the ONE production k-NN path (Pallas
+  on TPU, brute elsewhere — selected in `prepare_knn_index`).
 """
 
 from __future__ import annotations
@@ -310,131 +310,6 @@ def clear_old_points(vmap_: VoxelMap, current_time, cfg: MapConfig) -> VoxelMap:
 
 
 # -----------------------------------------------------------------------------
-#   Bucket index (kd-tree replacement)
-# -----------------------------------------------------------------------------
-
-class PointIndex(NamedTuple):
-    """Points sorted by coarse bucket key, ready for neighbor queries."""
-
-    keys: jax.Array   # (N,) i32 sorted bucket keys (BIG for excluded)
-    xyz: jax.Array    # (N, 3) f32 sorted accordingly
-    ring: jax.Array   # (N,) i32 laser ring (0 where unknown)
-    n: jax.Array      # () i32 number of indexed points
-
-
-def _bucket_params(half: float, bucket_size: float):
-    nb = int(math.ceil(2.0 * half / bucket_size)) + 1
-    return nb
-
-
-def build_point_index(xyz, valid, half: float, bucket_size: float, ring=None) -> PointIndex:
-    """Sort points by bucket key. `half`/`bucket_size` must be static."""
-    nb = _bucket_params(half, bucket_size)
-    bi = jnp.floor((xyz + half) / bucket_size).astype(jnp.int32)
-    inb = valid & jnp.all((bi >= 0) & (bi < nb), axis=-1)
-    key = jnp.where(inb, (bi[..., 0] * nb + bi[..., 1]) * nb + bi[..., 2], _BIGKEY)
-    if ring is None:
-        ring = jnp.zeros(xyz.shape[0], jnp.int32)
-    skey, sx, sy, sz, sring = jax.lax.sort(
-        (key, xyz[:, 0], xyz[:, 1], xyz[:, 2], ring.astype(jnp.int32)), num_keys=1)
-    return PointIndex(keys=skey, xyz=jnp.stack([sx, sy, sz], -1), ring=sring,
-                      n=jnp.sum(inb).astype(jnp.int32))
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def extract_submap_index(vmap_: VoxelMap, bbox_min, bbox_max, min_nb_points,
-                         cfg: MapConfig) -> PointIndex:
-    """Submap = map points in outer voxels intersecting the bbox, with
-    moving-object rejection and automatic fallback (BuildSubMapKdTree
-    362-442), indexed for neighbor queries."""
-    res = effective_resolution(cfg)
-    half = half_extent(cfg)
-    lo = jnp.maximum(jnp.floor((bbox_min + half) / res), 0.0)
-    hi = jnp.minimum(jnp.floor((bbox_max + half) / res), cfg.grid_size - 1)
-    vi = jnp.floor((vmap_.xyz + half) / res)
-    in_bbox = vmap_.valid & jnp.all((vi >= lo) & (vi <= hi), axis=-1)
-
-    if cfg.min_frames_per_voxel > 1:
-        still = vmap_.count >= cfg.min_frames_per_voxel
-        clean = in_bbox & (still | vmap_.fixed)
-        # fall back to the whole bbox when the filter is disabled
-        # (min_nb_points < 0) or too strong (RollingGrid.cxx:414-435)
-        use_all = (min_nb_points < 0) | (jnp.sum(clean) < min_nb_points)
-        selected = jnp.where(use_all, in_bbox, clean)
-    else:
-        selected = in_bbox
-
-    return build_point_index(vmap_.xyz, selected, half,
-                             cfg.bucket_factor * cfg.leaf_size)
-
-
-def _neighbor_cells(rings: int):
-    r = range(-rings, rings + 1)
-    return [(dx, dy, dz) for dx in r for dy in r for dz in r]
-
-
-@partial(jax.jit, static_argnames=("k", "half", "bucket_size", "search_rings",
-                                   "bucket_capacity", "chunk", "max_cells"))
-def knn_query(index: PointIndex, queries, k: int, half: float, bucket_size: float,
-              search_rings: int = 1, bucket_capacity: int = 64, chunk: int = 512,
-              max_cells: int = 32):
-    """k nearest indexed points of each query within the searched bucket ring.
-
-    Returns (sq_dists (Q, k) — +inf for missing, idx (Q, k) into the sorted
-    index arrays). Queries are processed in chunks to bound the candidate
-    matrix ((chunk, cells*cap)). When the ring has more than `max_cells`
-    cells, only the cells nearest the query (by axis-aligned cell distance)
-    are gathered — the k nearest points of a spinning-LiDAR map practically
-    always live in the nearest few dozen cells.
-    """
-    nb = _bucket_params(half, bucket_size)
-    cells = np.asarray(_neighbor_cells(search_rings), np.int32)  # (C, 3)
-    n_cells = len(cells)
-    prune = n_cells > max_cells
-    Q = queries.shape[0]
-    chunk = min(chunk, max(Q, 1))
-    pad = (-Q) % chunk
-    qpad = jnp.concatenate([queries, jnp.zeros((pad, 3), queries.dtype)]) if pad else queries
-
-    def one_chunk(qc):
-        nq = qc.shape[0]
-        bi = jnp.floor((qc + half) / bucket_size).astype(jnp.int32)  # (q, 3)
-        cb = bi[:, None, :] + cells[None, :, :]                      # (q, C, 3)
-        cell_ok = jnp.all((cb >= 0) & (cb < nb), axis=-1)
-        ckey = (cb[..., 0] * nb + cb[..., 1]) * nb + cb[..., 2]
-        ckey = jnp.where(cell_ok, ckey, -1)
-        if prune:
-            # squared axis-aligned distance from the query to each cell's box
-            lo = cb.astype(qc.dtype) * bucket_size - half
-            d_ax = jnp.maximum(lo - qc[:, None, :],
-                               jnp.maximum(qc[:, None, :] - (lo + bucket_size), 0.0))
-            cell_d2 = jnp.sum(jnp.maximum(d_ax, 0.0) ** 2, axis=-1)
-            cell_d2 = jnp.where(cell_ok, cell_d2, jnp.inf)
-            _, keep = jax.lax.top_k(-cell_d2, max_cells)             # (q, max_cells)
-            ckey = jnp.take_along_axis(ckey, keep, axis=1)
-        # scan_unrolled: binary search as 17 unrolled gather steps instead of
-        # a while loop — nested-loop iteration overhead dominates on TPU when
-        # this runs inside the ICP fori body (profiled ~20x slower otherwise)
-        start = jnp.searchsorted(index.keys, ckey, method="scan_unrolled")
-        end = jnp.searchsorted(index.keys, ckey, side="right", method="scan_unrolled")
-        span = jnp.arange(bucket_capacity, dtype=jnp.int32)
-        cand = start[..., None] + span                               # (q, C', cap)
-        cand_ok = cand < end[..., None]
-        cand = jnp.clip(cand, 0, index.xyz.shape[0] - 1)
-        cflat = cand.reshape(nq, -1)
-        okflat = cand_ok.reshape(nq, -1)
-        nbr = index.xyz[cflat]                                       # (q, CC, 3)
-        d2 = jnp.sum((nbr - qc[:, None, :]) ** 2, axis=-1)
-        d2 = jnp.where(okflat, d2, jnp.inf)
-        neg, sel = jax.lax.top_k(-d2, k)
-        return -neg, jnp.take_along_axis(cflat, sel, axis=1)
-
-    nchunks = (Q + pad) // chunk
-    d2s, idxs = jax.lax.map(one_chunk, qpad.reshape(nchunks, chunk, 3))
-    return d2s.reshape(-1, k)[:Q], idxs.reshape(-1, k)[:Q]
-
-
-# -----------------------------------------------------------------------------
 #   Brute-force exact k-NN (chunked, planar differences + top-k)
 # -----------------------------------------------------------------------------
 
@@ -556,119 +431,6 @@ def extract_submap_view(vmap_: VoxelMap, bbox_min, bbox_max, min_nb_points,
         selected = in_bbox
     return SubmapView(xyz=vmap_.xyz, ring=jnp.zeros(vmap_.xyz.shape[0], jnp.int32),
                       valid=selected)
-
-
-# -----------------------------------------------------------------------------
-#   Dense cell-table submap grid (search-free k-NN)
-# -----------------------------------------------------------------------------
-
-class DenseGrid(NamedTuple):
-    """Per-frame dense neighbor structure: a (DX*DY*DZ*cap + 1,) slot table of
-    point-row indices (-1 = empty; last slot is the dump for out-of-window
-    writes), over the source point arrays.
-
-    TPU-first replacement for per-query binary search: cell lookup is pure
-    index arithmetic + one gather, which profiles ~20x faster inside the
-    fused per-frame program than `searchsorted` chains (the bsearch while
-    loops dominated the ICP body)."""
-
-    table: jax.Array    # (DX*DY*DZ*cap + 2,) int32 rows into xyz; slot -2 is
-                        # the overflow dump (write-only), slot -1 stays -1
-                        # (read by out-of-window cells)
-    xyz: jax.Array      # (N, 3) f32 source points
-    ring: jax.Array     # (N,) int32
-    corner: jax.Array   # (3,) f32 grid min corner (same frame as queries)
-    n: jax.Array        # () int32 number of indexed points
-
-
-def build_dense_grid(xyz, valid, corner, dims, bucket: float, cap: int,
-                     ring=None) -> DenseGrid:
-    """Rasterize points into the dense cell table. `dims` (3-tuple) and `cap`
-    are static; `corner` is traced (snapped by the caller)."""
-    DX, DY, DZ = dims
-    n_slots = DX * DY * DZ * cap
-    N = xyz.shape[0]
-    ci = jnp.floor((xyz - corner) / bucket).astype(jnp.int32)
-    ok = valid & jnp.all((ci >= 0) & (ci < jnp.asarray(dims, jnp.int32)), axis=-1)
-    ckey = (ci[..., 0] * DY + ci[..., 1]) * DZ + ci[..., 2]
-    ckey = jnp.where(ok, ckey, _BIGKEY)
-
-    row = jnp.arange(N, dtype=jnp.int32)
-    skey, srow = jax.lax.sort((ckey, row), num_keys=1)
-    first = skey != jnp.roll(skey, 1)
-    first = first.at[0].set(True)
-    idx = jnp.arange(N, dtype=jnp.int32)
-    seg_start = jax.lax.cummax(jnp.where(first, idx, 0))
-    rank = idx - seg_start
-    keep = (skey != _BIGKEY) & (rank < cap)
-    slot = jnp.where(keep, skey * cap + rank, n_slots)  # overflow -> dump slot
-
-    table = jnp.full((n_slots + 2,), -1, jnp.int32).at[slot].set(srow, mode="drop")
-    if ring is None:
-        ring = jnp.zeros(N, jnp.int32)
-    return DenseGrid(table=table, xyz=xyz, ring=ring.astype(jnp.int32),
-                     corner=corner, n=jnp.sum(ok).astype(jnp.int32))
-
-
-def dense_knn(grid: DenseGrid, queries, k: int, dims, bucket: float, cap: int,
-              rings: int = 1):
-    """k nearest indexed points per query, probing the (2r+1)^3 neighbor
-    cells by direct table lookup. Returns (sq_dists (Q,k) with +inf for
-    missing, rows (Q,k) into grid.xyz)."""
-    DX, DY, DZ = dims
-    cells = np.asarray(_neighbor_cells(rings), np.int32)     # (C, 3)
-    ci = jnp.floor((queries - grid.corner) / bucket).astype(jnp.int32)  # (Q, 3)
-    cc = ci[:, None, :] + cells[None, :, :]                  # (Q, C, 3)
-    cell_ok = jnp.all((cc >= 0) & (cc < jnp.asarray(dims, jnp.int32)), axis=-1)
-    ckey = (cc[..., 0] * DY + cc[..., 1]) * DZ + cc[..., 2]
-    span = jnp.arange(cap, dtype=jnp.int32)
-    slots = ckey[..., None] * cap + span                     # (Q, C, cap)
-    # out-of-window cells read the always-empty tail slot
-    slots = jnp.where(cell_ok[..., None], slots, grid.table.shape[0] - 1)
-    rows = grid.table[slots.reshape(queries.shape[0], -1)]   # (Q, C*cap)
-    okc = rows >= 0
-    nbr = grid.xyz[jnp.maximum(rows, 0)]
-    d2 = jnp.sum((nbr - queries[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(okc, d2, jnp.inf)
-    neg, sel = jax.lax.top_k(-d2, k)
-    return -neg, jnp.take_along_axis(rows, sel, axis=1)
-
-
-def grid_dims(cfg: MapConfig):
-    """Static dense-grid dimensions for this map's bucket size."""
-    bucket = cfg.bucket_factor * cfg.leaf_size
-    dx = int(math.ceil(cfg.submap_extent_xy / bucket)) + 2
-    dz = int(math.ceil(cfg.submap_extent_z / bucket)) + 2
-    return (dx, dx, dz)
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def extract_submap_dense(vmap_: VoxelMap, bbox_min, bbox_max, min_nb_points,
-                         center, cfg: MapConfig) -> DenseGrid:
-    """Submap selection (bbox + moving-object filter with fallback, as
-    extract_submap_index) rasterized into a DenseGrid centered at `center`."""
-    res = effective_resolution(cfg)
-    half = half_extent(cfg)
-    lo = jnp.maximum(jnp.floor((bbox_min + half) / res), 0.0)
-    hi = jnp.minimum(jnp.floor((bbox_max + half) / res), cfg.grid_size - 1)
-    vi = jnp.floor((vmap_.xyz + half) / res)
-    in_bbox = vmap_.valid & jnp.all((vi >= lo) & (vi <= hi), axis=-1)
-
-    if cfg.min_frames_per_voxel > 1:
-        still = vmap_.count >= cfg.min_frames_per_voxel
-        clean = in_bbox & (still | vmap_.fixed)
-        use_all = (min_nb_points < 0) | (jnp.sum(clean) < min_nb_points)
-        selected = jnp.where(use_all, in_bbox, clean)
-    else:
-        selected = in_bbox
-
-    bucket = cfg.bucket_factor * cfg.leaf_size
-    dims = grid_dims(cfg)
-    extent = jnp.asarray([cfg.submap_extent_xy, cfg.submap_extent_xy,
-                          cfg.submap_extent_z], jnp.float32)
-    corner = jnp.floor((center - extent / 2.0) / bucket) * bucket
-    return build_dense_grid(vmap_.xyz, selected, corner, dims, bucket,
-                            cfg.bucket_capacity)
 
 
 def gather_valid_points(vmap_: VoxelMap, clean: bool, cfg: MapConfig):

@@ -89,10 +89,6 @@ class Slam:
                                                   voxel_resolution=shared_res))
             for i in range(3))
         self.half = voxel_map.half_extent(next(iter(self.map_cfgs.values())))
-        self.geoms = {}
-        for k in cfg.used_types:
-            mc = self.map_cfgs[k]
-            self.geoms[k] = (self.half, mc.bucket_factor * mc.leaf_size, mc.search_rings)
 
         self.reset()
 
@@ -333,8 +329,9 @@ class Slam:
         Real TPU meshes order launches per chip, so this stays fully async
         there; on CPU meshes (tests) we serialize program completion."""
         if self.mesh is not None and self._cpu_mesh is None:
-            import jax as _jax
-            self._cpu_mesh = _jax.default_backend() == "cpu"
+            # probe the mesh's own devices, not the default backend: a CPU
+            # mesh under a non-CPU default backend still needs serializing
+            self._cpu_mesh = self.mesh.devices.flat[0].platform == "cpu"
         if self._cpu_mesh:
             jax.block_until_ready(packed)
 

@@ -135,64 +135,17 @@ def test_submap_bbox_and_moving_filter():
     # stable point seen twice, moving point seen once, far point
     m = _add(m, [[1.0, 1.0, 0.0], [2.0, 2.0, 0.0], [8.0, 8.0, 0.0]], t=0.0, cfg=cfg)
     m = _add(m, [[1.1, 1.1, 0.0]], t=1.0, cfg=cfg)  # same leaf as stable? 1.0 vs 1.1 -> both in [1.0,1.5) leaf
-    idx = vm.extract_submap_index(m, jnp.asarray([-3.0, -3.0, -3.0]),
+    view = vm.extract_submap_view(m, jnp.asarray([-3.0, -3.0, -3.0]),
                                   jnp.asarray([4.0, 4.0, 3.0]), jnp.int32(1), cfg)
-    n = int(idx.n)
-    got = np.asarray(idx.xyz)[:n]
+    sel = np.asarray(view.valid)
+    got = np.asarray(view.xyz)[sel]
     # only the count>=2 leaf inside bbox survives
-    assert n == 1
+    assert sel.sum() == 1
     np.testing.assert_allclose(got, [[1.0, 1.0, 0.0]], atol=1e-5)
     # fallback: requiring more points than the clean set has -> filter removed
-    idx2 = vm.extract_submap_index(m, jnp.asarray([-3.0, -3.0, -3.0]),
+    view2 = vm.extract_submap_view(m, jnp.asarray([-3.0, -3.0, -3.0]),
                                    jnp.asarray([4.0, 4.0, 3.0]), jnp.int32(2), cfg)
-    assert int(idx2.n) == 2
-
-
-def test_knn_matches_bruteforce():
-    rng = np.random.default_rng(0)
-    pts = rng.uniform(-8, 8, (3000, 3)).astype(np.float32)
-    m = VoxelMapEmpty()
-    m = _add(m, pts)
-    stored = _points(m)
-
-    queries = rng.uniform(-7, 7, (256, 3)).astype(np.float32)
-    idx = vm.extract_submap_index(m, jnp.asarray([-9.0] * 3), jnp.asarray([9.0] * 3),
-                                  jnp.int32(-1), CFG)
-    bucket = CFG.bucket_factor * CFG.leaf_size
-    d2, nbr_idx = vm.knn_query(idx, jnp.asarray(queries), 5, HALF, bucket,
-                               search_rings=CFG.search_rings, chunk=128)
-    d2 = np.asarray(d2)
-    nbr_idx = np.asarray(nbr_idx)
-    cover = CFG.search_rings * bucket  # guaranteed search radius
-
-    for q in range(256):
-        bd = np.sum((stored - queries[q]) ** 2, axis=1)
-        want = np.sort(bd)[:5]
-        got = d2[q]
-        for j in range(5):
-            if want[j] <= cover**2:  # within guaranteed coverage: must be exact
-                np.testing.assert_allclose(got[j], want[j], rtol=1e-4, atol=1e-5)
-        # returned indices consistent with distances
-        sx = np.asarray(idx.xyz)
-        for j in range(5):
-            if np.isfinite(got[j]):
-                dd = np.sum((sx[nbr_idx[q, j]] - queries[q]) ** 2)
-                np.testing.assert_allclose(dd, got[j], rtol=1e-4, atol=1e-6)
-
-
-def test_knn_missing_neighbors_are_inf():
-    m = VoxelMapEmpty()
-    m = _add(m, [[0.0, 0.0, 0.0], [0.6, 0.0, 0.0]])
-    idx = vm.extract_submap_index(m, jnp.asarray([-9.0] * 3), jnp.asarray([9.0] * 3),
-                                  jnp.int32(-1), CFG)
-    bucket = CFG.bucket_factor * CFG.leaf_size
-    d2, _ = vm.knn_query(idx, jnp.asarray([[0.1, 0.0, 0.0]], np.float32), 5, HALF,
-                         bucket, search_rings=1, chunk=32)
-    d2 = np.asarray(d2)[0]
-    assert np.isfinite(d2[0]) and np.isfinite(d2[1])
-    assert np.all(np.isinf(d2[2:]))
-
-
+    assert int(np.asarray(view2.valid).sum()) == 2
 def test_capacity_overflow_keeps_limit():
     import dataclasses
     cfg = dataclasses.replace(CFG, capacity=64)
