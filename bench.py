@@ -17,7 +17,8 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=120, help="timed frames")
-    ap.add_argument("--warmup", type=int, default=6, help="warmup frames (compiles)")
+    ap.add_argument("--warmup", type=int, default=18, help="warmup frames (compiles; "
+                    "covers first-frame, windowed-scan and drain graphs)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--rings", type=int, default=16, help="laser rings (16=VLP-16, 128=VLS-128)")
     ap.add_argument("--azimuth", type=int, default=1800, help="firings per ring per sweep")
@@ -71,17 +72,23 @@ def main():
               file=sys.stderr)
 
     slam = Slam(cfg)
-    for i in range(args.warmup):
+    if args.stream:
+        # warm every graph variant the timed loop uses: first-frame,
+        # steady per-frame (partial-window drain) AND the windowed scan —
+        # so the timed section replays cached executables only
         t0 = time.perf_counter()
-        if args.stream:
+        for i in range(args.warmup):
             slam.add_frame_async(frames[i])
-            r = (slam.flush() or [{}])[-1]
-            r["duration"] = time.perf_counter() - t0
-        else:
-            r = slam.add_frame(frames[i])
+        rs = slam.flush()
         if args.verbose:
-            print(f"# warmup {i}: {r.get('duration', 0)*1000:.0f} ms "
-                  f"matches={r.get('n_matches')}", file=sys.stderr)
+            print(f"# warmup x{args.warmup}: {(time.perf_counter()-t0)*1000:.0f} ms "
+                  f"matches={rs[-1].get('n_matches')}", file=sys.stderr)
+    else:
+        for i in range(args.warmup):
+            r = slam.add_frame(frames[i])
+            if args.verbose:
+                print(f"# warmup {i}: {r.get('duration', 0)*1000:.0f} ms "
+                      f"matches={r.get('n_matches')}", file=sys.stderr)
 
     t0 = time.perf_counter()
     durations = []

@@ -2,11 +2,14 @@
 
 Supports the `LidarPoint` field layout the reference writes via
 `savePointCloudToPCD` (PointCloudStorage.h:85-115): x y z intensity time
-laser_id device_id label, in ascii or binary encoding, plus plain xyz[i]
+laser_id device_id label, in ascii, binary, or PCL `binary_compressed`
+encoding (LZF over field-major data — io/lzf.py), plus plain xyz[i]
 clouds from other tools. Host-side numpy, no PCL dependency.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 
@@ -14,9 +17,32 @@ _DTYPES = {("F", 4): "f4", ("F", 8): "f8", ("I", 1): "i1", ("I", 2): "i2",
            ("I", 4): "i4", ("U", 1): "u1", ("U", 2): "u2", ("U", 4): "u4"}
 
 
+def _write_body(f, rec, names, encoding):
+    """Write the data section. `binary_compressed` is PCL's layout: two LE
+    uint32 (compressed size, uncompressed size), then LZF over the
+    FIELD-MAJOR reordering of the records (all x, then all y, ...)."""
+    if encoding == "binary":
+        f.write(rec.tobytes())
+    elif encoding == "binary_compressed":
+        from lidarslam_tpu.io import lzf
+
+        raw = b"".join(np.ascontiguousarray(rec[name]).tobytes() for name in names)
+        comp = lzf.compress(raw)
+        f.write(struct.pack("<II", len(comp), len(raw)))
+        f.write(comp)
+    else:
+        np.savetxt(f, np.stack([rec[name].astype(np.float64) for name in names], 1),
+                   fmt="%.7g")
+
+
+def _encoding(binary, compressed):
+    return "binary_compressed" if compressed else ("binary" if binary else "ascii")
+
+
 def save_pcd(path, xyz, intensity=None, time=None, laser_id=None, label=None,
-             binary=True):
-    """Write a PCD v0.7 file with the reference-compatible field set."""
+             binary=True, compressed=False):
+    """Write a PCD v0.7 file with the reference-compatible field set.
+    `compressed=True` writes PCL `binary_compressed` (LZF)."""
     xyz = np.asarray(xyz, np.float32)
     n = len(xyz)
     fields = [("x", "f4", xyz[:, 0]), ("y", "f4", xyz[:, 1]), ("z", "f4", xyz[:, 2])]
@@ -41,21 +67,17 @@ def save_pcd(path, xyz, intensity=None, time=None, laser_id=None, label=None,
         f"TYPE {types}\n"
         f"COUNT {counts}\n"
         f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
-        f"DATA {'binary' if binary else 'ascii'}\n"
+        f"DATA {_encoding(binary, compressed)}\n"
     )
     rec = np.zeros(n, dtype=[(f[0], f[1]) for f in fields])
     for name, _, data in fields:
         rec[name] = data
     with open(path, "wb") as f:
         f.write(header.encode())
-        if binary:
-            f.write(rec.tobytes())
-        else:
-            np.savetxt(f, np.stack([rec[name].astype(np.float64) for name, _, _ in fields], 1),
-                       fmt="%.7g")
+        _write_body(f, rec, [f_[0] for f_ in fields], _encoding(binary, compressed))
 
 
-def save_pcd_fields(path, xyz, extra=None, binary=True):
+def save_pcd_fields(path, xyz, extra=None, binary=True, compressed=False):
     """Write a PCD v0.7 file with arbitrary extra per-point float32 fields.
 
     Used for the extractor debug-cloud export (the advanced-return arrays
@@ -80,18 +102,14 @@ def save_pcd_fields(path, xyz, extra=None, binary=True):
         f"TYPE {types}\n"
         f"COUNT {counts}\n"
         f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
-        f"DATA {'binary' if binary else 'ascii'}\n"
+        f"DATA {_encoding(binary, compressed)}\n"
     )
     rec = np.zeros(n, dtype=[(f[0], f[1]) for f in fields])
     for name, _, data in fields:
         rec[name] = data
     with open(path, "wb") as f:
         f.write(header.encode())
-        if binary:
-            f.write(rec.tobytes())
-        else:
-            np.savetxt(f, np.stack([rec[name].astype(np.float64)
-                                    for name, _, _ in fields], 1), fmt="%.7g")
+        _write_body(f, rec, [f_[0] for f_ in fields], _encoding(binary, compressed))
 
 
 def load_pcd(path):
@@ -117,6 +135,20 @@ def load_pcd(path):
             dt.append((name, base, (c,)) if c > 1 else (name, base))
         if header["DATA"] == "binary":
             rec = np.frombuffer(f.read(n * np.dtype(dt).itemsize), dtype=dt, count=n)
+        elif header["DATA"] == "binary_compressed":
+            # PCL layout: u32 compressed size, u32 uncompressed size, LZF
+            # payload of the FIELD-MAJOR data (all x, then all y, ...)
+            from lidarslam_tpu.io import lzf
+
+            comp_len, raw_len = np.frombuffer(f.read(8), "<u4")
+            raw = lzf.decompress(f.read(int(comp_len)), int(raw_len))
+            rec = np.zeros(n, dtype=dt)
+            off = 0
+            for name, t, s, c in zip(names, types, sizes, counts):
+                nb = n * c * s
+                col = np.frombuffer(raw[off:off + nb], _DTYPES[(t, s)])
+                rec[name] = col.reshape(n, c) if c > 1 else col
+                off += nb
         elif header["DATA"] == "ascii":
             raw = np.loadtxt(f, ndmin=2)
             rec = np.zeros(n, dtype=dt)

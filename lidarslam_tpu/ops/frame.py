@@ -159,20 +159,25 @@ class KeypointsView:
     once on first access. Safe to hold across stream-state donation —
     the flat buffer is an independent output of the streaming step."""
 
-    __slots__ = ("_buf", "_host")
+    __slots__ = ("_buf", "_host", "_row")
 
-    def __init__(self, buf):
+    def __init__(self, buf, row=None):
+        # `row` indexes a window-stacked (W, 7K+1) buffer (the windowed
+        # streaming dispatch logs one stacked buffer per W frames); the row
+        # is sliced on device lazily at first host access
         self._buf = buf
+        self._row = row
         self._host = None
 
     def _h(self):
         if self._host is None:
-            self._host = np.asarray(self._buf)
+            b = self._buf if self._row is None else self._buf[self._row]
+            self._host = np.asarray(b)
         return self._host
 
     @property
     def capacity(self):
-        return (self._buf.shape[0] - 1) // 7
+        return (self._buf.shape[-1] - 1) // 7
 
     @property
     def xyz(self):
@@ -205,7 +210,8 @@ class KeypointsView:
 
     @property
     def device_nbytes(self):
-        return int(self._buf.size) * 4
+        # a row view accounts only its own share of the stacked buffer
+        return int(self._buf.shape[-1]) * 4
 
 
 def build_range_image(
@@ -216,12 +222,15 @@ def build_range_image(
     n_rings: int,
     max_ring_points: int,
     packed: bool = False,
+    device: bool = True,
 ) -> "RangeImage | ByteRangeImage":
     """Host-side bucketing of an unordered point list into a RangeImage.
 
     Points are appended to their ring in input order, matching the reference's
     `ConvertAndSortScanLines` (SSKE.cxx:139-161). Overflowing points beyond
     `max_ring_points` per ring are dropped; rings >= n_rings are dropped.
+    With `device=False` the result stays in host numpy buffers (for window
+    batching: several sweeps stack into ONE upload, `stack_range_images`).
     """
     xyz = np.asarray(xyz, np.float32)
     n = len(xyz)
@@ -237,15 +246,17 @@ def build_range_image(
                 XYZ_QUANT_SCALE)
             if out is not None:
                 q, inten8, t16, valid8 = out
-                return pack_range_image_bytes(q, inten8, t16, valid8)
+                return pack_range_image_bytes(q, inten8, t16, valid8,
+                                              device=device)
         else:
             out = native_mod.build_range_image_native(
                 xyz, intensity, laser_id, time, n_rings, max_ring_points)
             if out is not None:
                 oxyz, ointen, otime, ovalid = out
+                up = jnp.asarray if device else (lambda a: a)
                 return RangeImage(
-                    xyz=jnp.asarray(oxyz), intensity=jnp.asarray(ointen),
-                    time=jnp.asarray(otime), valid=jnp.asarray(ovalid.astype(bool)))
+                    xyz=up(oxyz), intensity=up(ointen),
+                    time=up(otime), valid=up(ovalid.astype(bool)))
 
     keep = (laser_id >= 0) & (laser_id < n_rings)
 
@@ -281,13 +292,34 @@ def build_range_image(
         q = np.clip(np.round(img_xyz / XYZ_QUANT_SCALE), -32767, 32767).astype(np.int16)
         return pack_range_image_bytes(
             q, np.clip(img_int, 0, 255).astype(np.uint8),
-            img_time.astype(np.float16), img_valid.astype(np.uint8))
+            img_time.astype(np.float16), img_valid.astype(np.uint8),
+            device=device)
+    up = jnp.asarray if device else (lambda a: a)
     return RangeImage(
-        xyz=jnp.asarray(img_xyz),
-        intensity=jnp.asarray(img_int),
-        time=jnp.asarray(img_time),
-        valid=jnp.asarray(img_valid),
+        xyz=up(img_xyz),
+        intensity=up(img_int),
+        time=up(img_time),
+        valid=up(img_valid),
     )
+
+
+def stack_range_images(ris):
+    """Stack host-built sweeps (`build_range_image(..., device=False)`) into
+    one leading-axis-W container uploaded as a SINGLE transfer — the input of
+    the windowed streaming dispatch (`pipeline.process_stream_window`)."""
+    r0 = ris[0]
+    if isinstance(r0, ByteRangeImage):
+        return ByteRangeImage(jnp.asarray(np.stack([r.buf for r in ris])),
+                              r0.shape)
+    return RangeImage(*(jnp.asarray(np.stack([getattr(r, f) for r in ris]))
+                        for f in RangeImage._fields))
+
+
+def to_device_range_image(ri):
+    """Upload one host-built sweep (per-frame fallback of the window path)."""
+    if isinstance(ri, ByteRangeImage):
+        return ByteRangeImage(jnp.asarray(ri.buf), ri.shape)
+    return RangeImage(*(jnp.asarray(getattr(ri, f)) for f in RangeImage._fields))
 
 
 def transform_keypoints(kp: Keypoints, pose6, time_offset=0.0) -> Keypoints:

@@ -558,6 +558,30 @@ def _stream_step(kps, ri, state: StreamState, stamp, az_res, cfg: SlamConfig,
     return new_state, packed, kps_flat
 
 
+def process_stream_window(ri_stack, state: StreamState, stamps, az_res,
+                          cfg: SlamConfig, map_cfgs: tuple):
+    """W chained streaming steps in ONE device dispatch: `lax.scan` over a
+    leading-axis-W stack of sweeps (`frame.stack_range_images`).
+
+    This amortizes the per-dispatch host/link overhead — the dominant wall
+    term when the chip sits behind a high-latency tunnel (measured ~4.5 ms
+    host gap per frame at VLP-16 scale with per-frame dispatch) — W-fold:
+    one upload, one dispatch, one set of output references per W sweeps.
+    The scan body is the exact per-frame step, so results are bitwise
+    identical to W per-frame dispatches. First frames / frames carrying
+    sensor-constraint extras use the per-frame path (static structure).
+
+    Returns (state', packed (W, 64), kps_flat — per type (W, 7K+1))."""
+    def body(st, xs):
+        ri, stamp = xs
+        st2, packed, kps_flat = process_frame_stream(
+            ri, st, stamp, az_res, cfg, map_cfgs, False)
+        return st2, (packed, kps_flat)
+
+    state, (packed, kps_flat) = jax.lax.scan(body, state, (ri_stack, stamps))
+    return state, packed, kps_flat
+
+
 def init_stream_state(cfg: SlamConfig, map_cfgs,
                       sharded: bool = False) -> StreamState:
     from lidarslam_tpu.ops.frame import Keypoints as _KP

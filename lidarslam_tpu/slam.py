@@ -109,6 +109,10 @@ class Slam:
                 pipeline.process_keypoints_stream,
                 static_argnames=("cfg", "map_cfgs", "first_frame"),
                 donate_argnums=(1,))
+            self._process_stream_window = jax.jit(
+                pipeline.process_stream_window,
+                static_argnames=("cfg", "map_cfgs"),
+                donate_argnums=(1,))
         else:
             # multi-chip SPMD: the same pipeline under shard_map — matcher +
             # solver shard over the mesh's kp axis, psum-reduced normal
@@ -273,12 +277,12 @@ class Slam:
         self.last_stamp = frame["stamp"]
         return out
 
-    def _build_ri(self, frame):
+    def _build_ri(self, frame, device=True):
         cfg = self.cfg
         return build_range_image(frame["xyz"], frame["intensity"], frame["laser_id"],
                                  frame["time"], cfg.extractor.n_rings,
                                  cfg.extractor.max_ring_points,
-                                 packed=cfg.compress_upload)
+                                 packed=cfg.compress_upload, device=device)
 
     # ------------------------------------------------------------------
     # Streaming (device-chained) mode — no per-frame host sync
@@ -291,22 +295,42 @@ class Slam:
         the device, so nothing synchronizes with the host until `flush()`.
         Results (poses, covariances, confidence) land in the normal logs at
         flush time. Mixing with the synchronous `add_frame` is allowed only
-        across a flush boundary."""
+        across a flush boundary.
+
+        With `cfg.stream_window > 1` (single-chip only), sweeps buffer
+        host-side and every W of them run as ONE scan-chained device
+        dispatch — identical results, W-fold less dispatch/link overhead."""
         cfg = self.cfg
         skip = self._check_frame(frame)
         if skip:
             return -1
         stamp = float(frame["stamp"])
         self._ensure_stream_state()
+        first = not self._maps_populated and self._stream_enqueued == 0 \
+            and self.n_frames == 0
+        extras = self._stream_extras(stamp)
+        window = cfg.stream_window if self.mesh is None else 1
+
+        if window > 1 and not first and not extras:
+            # host-built sweep buffers; stack + dispatch when the window fills
+            self._window_buf.append(
+                (self._build_ri(frame, device=False), stamp))
+            if len(self._window_buf) >= window:
+                self._dispatch_window()
+            self.last_stamp = frame["stamp"]
+            idx = self._stream_enqueued
+            self._stream_enqueued += 1
+            return idx
+
+        # per-frame dispatch path (first frame / sensor extras / window=1);
+        # any buffered partial window must run first to keep frame order
+        self._drain_window()
         ri = self._build_ri(frame)
         if self.azimuthal_resolution <= 1e-6 or self.azimuthal_resolution > np.pi / 4:
             from lidarslam_tpu.ops.frame import ensure_range_image
             self.azimuthal_resolution = float(
                 estimate_azimuthal_resolution(ensure_range_image(ri)))
 
-        extras = self._stream_extras(stamp)
-        first = not self._maps_populated and len(self._stream_pending) == 0 \
-            and self.n_frames == 0
         self._stream_state, packed, kps_flat = self._process_stream(
             ri, self._stream_state, np.float32(stamp),
             np.float32(self.azimuthal_resolution), cfg, self._map_cfgs_tuple,
@@ -314,11 +338,38 @@ class Slam:
         # packed and the flat keypoint-log buffers are fresh jit outputs,
         # distinct from the (donated-next-call) state buffers: log the
         # references directly, zero per-frame host-side device dispatches
-        self._stream_pending.append({"stamp": stamp, "packed": packed,
+        self._stream_pending.append({"stamps": [stamp], "packed": packed,
                                      "kps_flat": kps_flat})
         self._stream_backpressure(packed)
         self.last_stamp = frame["stamp"]
-        return len(self._stream_pending) - 1
+        idx = self._stream_enqueued
+        self._stream_enqueued += 1
+        return idx
+
+    def _dispatch_window(self):
+        """Run the buffered full window as one scan-chained dispatch."""
+        buf, self._window_buf = self._window_buf, []
+        ris = frame_mod.stack_range_images([r for r, _ in buf])
+        stamps = np.asarray([s for _, s in buf], np.float32)
+        self._stream_state, packed, kps_flat = self._process_stream_window(
+            ris, self._stream_state, stamps,
+            np.float32(self.azimuthal_resolution), self.cfg,
+            self._map_cfgs_tuple)
+        self._stream_pending.append({"stamps": [s for _, s in buf],
+                                     "packed": packed, "kps_flat": kps_flat})
+
+    def _drain_window(self):
+        """Dispatch a buffered partial window frame by frame (per-frame jit:
+        a partial scan length would compile a fresh program per depth)."""
+        buf, self._window_buf = self._window_buf, []
+        for ri_host, stamp in buf:
+            ri = frame_mod.to_device_range_image(ri_host)
+            self._stream_state, packed, kps_flat = self._process_stream(
+                ri, self._stream_state, np.float32(stamp),
+                np.float32(self.azimuthal_resolution), self.cfg,
+                self._map_cfgs_tuple, False, ())
+            self._stream_pending.append({"stamps": [stamp], "packed": packed,
+                                         "kps_flat": kps_flat})
 
     def _stream_backpressure(self, packed):
         """On the virtual-device CPU backend, sharded streaming must not
@@ -346,6 +397,8 @@ class Slam:
         self._stream_state = self._stream_state._replace(
             map_update=jnp.asarray(self.mapping_mode != MappingMode.NONE))
         self._stream_pending = []
+        self._window_buf = []
+        self._stream_enqueued = 0
         if self._maps_populated or self.n_frames > 0:
             # seed from the host state (previous segment / preloaded maps);
             # maps are copied because the stream state gets donated
@@ -390,67 +443,64 @@ class Slam:
     def flush(self) -> list:
         """Synchronize streaming results into the host logs; returns the
         per-frame summary dicts of the flushed frames."""
+        if getattr(self, "_window_buf", None):
+            self._drain_window()
         if not getattr(self, "_stream_pending", None):
             return []
         cfg = self.cfg
         res_m = voxel_map.effective_resolution(self._map_cfgs_tuple[int(cfg.used_types[0])])
-        # one stacked transfer: a device_get per frame pays the transport
-        # round-trip each time (~0.6 s for 120 frames over the TPU tunnel).
-        # Pad the stack to a FIXED chunk of 64 rows so the stack op never
-        # shape-specializes on queue depth: with power-of-two bucketing the
-        # first deep flush paid an XLA compile *inside* the steady state
-        # (the padding itself is noise — 64 rows of ~50 floats).
-        n_pend = len(self._stream_pending)
-        chunk = 64
-        rows = []
-        for start in range(0, n_pend, chunk):
-            arrs = [p["packed"] for p in self._stream_pending[start:start + chunk]]
-            n_real = len(arrs)
-            arrs += [arrs[-1]] * (chunk - n_real)
-            rows.append(np.asarray(jax.device_get(jnp.stack(arrs)))[:n_real])
-        packed_all = np.concatenate(rows, axis=0)
+        # one device_get over ALL pending packed buffers: jax issues the
+        # host copies of every leaf asynchronously before blocking, so the
+        # transfers overlap into ~one round-trip over the tunnel (windowed
+        # entries already carry (W, 64) stacks — a handful of leaves total)
+        packed_rows = jax.device_get([p["packed"] for p in self._stream_pending])
         outs = []
-        for entry, packed in zip(self._stream_pending, packed_all):
-            u = pipeline.unpack_scalars(packed[:pipeline.PACKED_LEN])
-            origin_after_vox = packed[pipeline.PACKED_LEN:
-                                      pipeline.PACKED_LEN + 3].astype(np.int64)
-            origin_before = (origin_after_vox - u["roll_offset"]).astype(np.float64) * res_m
-            pose_world = u["pose"].copy()
-            Tnew = se3.pose_to_hmat(pose_world)
-            Tnew[:3, 3] += origin_before
-            self.PreviousTworld = self.Tworld.copy()
-            self.Tworld = Tnew
-            self.Trelative = se3.pose_to_hmat(u["trel"])
-            self.covariance = u["cov"]
-            self.failure = u["failed"]
-            self.total_matched_keypoints = u["total"]
-            self.match_counts = u["counts"]
-            self.overlap = u["overlap"]
-            if u["is_kf"]:
-                self.kf_counter += 1
-                self.kf_last_pose = self.Tworld.copy()
-                self._maps_populated = True
-            self.map_origin = origin_after_vox.astype(np.float64) * res_m
-            self._update_map_overflow(u["map_overflow"])
-            # lazy views over the per-frame flat log buffers: nothing is
-            # pulled from the device unless a consumer actually reads them
-            self.current_keypoints = {
-                Keypoint(i): frame_mod.KeypointsView(entry["kps_flat"][i])
-                for i in range(3)}
-            # motion-limit confidence per flushed frame (Slam.cxx:1391-1484);
-            # checked against the log *before* this frame is appended, exactly
-            # as the synchronous path does in _apply_result
-            if cfg.confidence.time_window_duration > 0:
-                status = self.motion_checker.check(
-                    [(e["time"], e["pose"]) for e in self.log_trajectory],
-                    self.Tworld, entry["stamp"])
-                self.comply_motion_limits = status.comply
-            self._log_state(entry["stamp"])
-            self.n_frames += 1
-            outs.append({"pose": self.Tworld.copy(), "covariance": self.covariance.copy(),
-                         "n_matches": int(u["total"]), "overlap": u["overlap"],
-                         "failure": u["failed"],
-                         "comply_motion_limits": self.comply_motion_limits})
+        for entry, rows in zip(self._stream_pending, packed_rows):
+            rows = np.atleast_2d(np.asarray(rows))
+            windowed = len(entry["stamps"]) > 1
+            for w, (stamp, packed) in enumerate(zip(entry["stamps"], rows)):
+                u = pipeline.unpack_scalars(packed[:pipeline.PACKED_LEN])
+                origin_after_vox = packed[pipeline.PACKED_LEN:
+                                          pipeline.PACKED_LEN + 3].astype(np.int64)
+                origin_before = (origin_after_vox - u["roll_offset"]).astype(np.float64) * res_m
+                pose_world = u["pose"].copy()
+                Tnew = se3.pose_to_hmat(pose_world)
+                Tnew[:3, 3] += origin_before
+                self.PreviousTworld = self.Tworld.copy()
+                self.Tworld = Tnew
+                self.Trelative = se3.pose_to_hmat(u["trel"])
+                self.covariance = u["cov"]
+                self.failure = u["failed"]
+                self.total_matched_keypoints = u["total"]
+                self.match_counts = u["counts"]
+                self.overlap = u["overlap"]
+                if u["is_kf"]:
+                    self.kf_counter += 1
+                    self.kf_last_pose = self.Tworld.copy()
+                    self._maps_populated = True
+                self.map_origin = origin_after_vox.astype(np.float64) * res_m
+                self._update_map_overflow(u["map_overflow"])
+                # lazy views over the per-frame flat log buffers: nothing is
+                # pulled from the device unless a consumer actually reads them
+                self.current_keypoints = {
+                    Keypoint(i): frame_mod.KeypointsView(
+                        entry["kps_flat"][i], row=w if windowed else None)
+                    for i in range(3)}
+                # motion-limit confidence per flushed frame (Slam.cxx:1391-1484);
+                # checked against the log *before* this frame is appended, exactly
+                # as the synchronous path does in _apply_result
+                if cfg.confidence.time_window_duration > 0:
+                    status = self.motion_checker.check(
+                        [(e["time"], e["pose"]) for e in self.log_trajectory],
+                        self.Tworld, stamp)
+                    self.comply_motion_limits = status.comply
+                self._log_state(stamp)
+                self.n_frames += 1
+                outs.append({"pose": self.Tworld.copy(),
+                             "covariance": self.covariance.copy(),
+                             "n_matches": int(u["total"]), "overlap": u["overlap"],
+                             "failure": u["failed"],
+                             "comply_motion_limits": self.comply_motion_limits})
         self.maps = {k: self._stream_state.maps[int(k)] for k in cfg.used_types}
         # the last frame's structured keypoints live in the stream state;
         # safe to hand out — the segment ends here so they are never donated
@@ -554,18 +604,21 @@ class Slam:
         self._ensure_stream_state()
         kps = self._extract_merge(frames, stamp)
 
+        self._drain_window()   # keep frame order with single-LiDAR enqueues
         extras = self._stream_extras(stamp)
-        first = not self._maps_populated and len(self._stream_pending) == 0 \
+        first = not self._maps_populated and self._stream_enqueued == 0 \
             and self.n_frames == 0
         self._stream_state, packed, kps_flat = self._process_kp_stream(
             kps, self._stream_state, np.float32(stamp),
             np.float32(self.azimuthal_resolution), cfg, self._map_cfgs_tuple,
             first, tuple(extras))
-        self._stream_pending.append({"stamp": stamp, "packed": packed,
+        self._stream_pending.append({"stamps": [stamp], "packed": packed,
                                      "kps_flat": kps_flat})
         self._stream_backpressure(packed)
         self.last_stamp = frames[0]["stamp"]
-        return len(self._stream_pending) - 1
+        idx = self._stream_enqueued
+        self._stream_enqueued += 1
+        return idx
 
     def set_base_to_lidar_offset(self, device_id: int, hmat):
         """Static LIDAR-in-BASE calibration per device (Slam.h:502-505)."""
@@ -1006,6 +1059,8 @@ class Slam:
         it takes effect on the next frame, including mid-stream."""
         self.mapping_mode = MappingMode(mode)
         if getattr(self, "_stream_state", None) is not None:
+            # frames already enqueued (buffered window) run BEFORE the switch
+            self._drain_window()
             self._stream_state = self._stream_state._replace(
                 map_update=jnp.asarray(self.mapping_mode != MappingMode.NONE))
 
@@ -1068,9 +1123,10 @@ class Slam:
         self._device_keypoints = None
 
     def save_maps_to_pcd(self, file_prefix: str, binary: bool = True,
-                         clean: bool = False):
+                         clean: bool = False, compressed: bool = False):
         """Write one `<prefix><type>s.pcd` per enabled map
-        (Slam::SaveMapsToPCD, Slam.cxx:504-516)."""
+        (Slam::SaveMapsToPCD, Slam.cxx:504-516). `compressed` writes PCL
+        `binary_compressed` (LZF), the reference's PCDFormat=2."""
         from lidarslam_tpu.config import KEYPOINT_NAMES
         from lidarslam_tpu.io import pcd
 
@@ -1079,7 +1135,8 @@ class Slam:
                 self.maps[k], clean, self.map_cfgs[k])
             pcd.save_pcd(f"{file_prefix}{KEYPOINT_NAMES[k]}s.pcd",
                          xyz + self.map_origin.astype(np.float32), intensity=inten,
-                         time=t, label=fixed.astype(np.uint8), binary=binary)
+                         time=t, label=fixed.astype(np.uint8), binary=binary,
+                         compressed=compressed)
 
     def load_maps_from_pcd(self, file_prefix: str, reset_maps: bool = True):
         """Load per-type maps; points are fixed when the mapping mode keeps

@@ -27,12 +27,13 @@ def test_live_map_update_switch_no_recompile():
     slam = Slam(_cfg())
     for f in frames[:4]:
         slam.add_frame_async(f)
-    # drain so _process_stream is compiled before we snapshot the cache
     jitted = slam._process_stream
+    slam.execute_command(Slam.DISABLE_SLAM_MAP_UPDATE)  # mid-stream, no flush
+    # snapshot AFTER the command's window drain so both per-frame graph
+    # variants (first and steady) are compiled; the switch itself — and
+    # everything after it — must not add programs
     n_cache0 = jitted._cache_size()
     assert n_cache0 >= 1
-
-    slam.execute_command(Slam.DISABLE_SLAM_MAP_UPDATE)  # mid-stream, no flush
     for f in frames[4:7]:
         slam.add_frame_async(f)
     outs = slam.flush()
