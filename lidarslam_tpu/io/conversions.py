@@ -80,6 +80,103 @@ def robosense_to_frame(xyz, intensity, ring, stamp, sweep_duration=0.1,
 
 
 # -----------------------------------------------------------------------------
+# Vendor array autodetection (vtkSlam::IdentifyInputArrays, vtkSlam.cxx:531-612)
+# -----------------------------------------------------------------------------
+
+# vendor -> ((time, intensity, laser_id) array names, time->seconds factor,
+#            vertical-calibration array name or None)
+VENDOR_TABLE = (
+    ("velodyne", ("adjustedtime", "intensity", "laser_id"), 1e-6,
+     "verticalCorrection"),
+    ("ouster", ("Raw Timestamp", "Signal Photons", "Channel"), 1e-9,
+     "Altitude Angles"),
+    ("hesai", ("Timestamp", "Intensity", "LaserID"), 1.0, None),
+)
+
+
+def identify_vendor(arrays):
+    """Detect the LiDAR vendor from the available per-point array names.
+
+    `arrays`: mapping of array name -> array (the polydata point-data
+    analog). Returns (vendor, (time, intensity, laser_id) names, factor,
+    calib_name) or raises ValueError — exactly the vtkSlam autodetect
+    cascade (Velodyne us / Ouster ns / Hesai s)."""
+    for vendor, names, factor, calib in VENDOR_TABLE:
+        if all(n in arrays for n in names):
+            return vendor, names, factor, calib
+    raise ValueError(
+        f"unable to identify LiDAR arrays among {sorted(arrays)}; expected "
+        "Velodyne (adjustedtime/intensity/laser_id), Ouster (Raw Timestamp/"
+        "Signal Photons/Channel) or Hesai (Timestamp/Intensity/LaserID)")
+
+
+def laser_id_mapping(vertical_angles):
+    """laser_id -> bottom-up ring rank from per-laser vertical angles
+    (vtkSlam::GetLaserIdMapping role)."""
+    angles = np.asarray(vertical_angles, np.float64)
+    return np.argsort(np.argsort(angles))
+
+
+def autodetect_frame(xyz, arrays, calibration=None, device_id=0, seq=None):
+    """Vendor-shaped arrays -> engine frame dict, with the vtkSlam ingest
+    semantics (IdentifyInputArrays + PolyDataToPointCloud, vtkSlam.cxx:
+    531-612, 668-707): vendor detected from array names; per-vendor
+    time-unit factor; frame stamp = frame-END time in seconds; per-point
+    times rebased to it (<= 0); all-zero-coordinate points dropped; laser
+    ids remapped bottom-up when a vertical calibration table is given.
+
+    `calibration`: optional mapping holding the vendor's vertical-angle
+    array (e.g. {"Altitude Angles": (...)}) or a plain angle array."""
+    vendor, (t_name, i_name, l_name), factor, calib_name = identify_vendor(arrays)
+    xyz = np.asarray(xyz, np.float64)
+    raw_t = np.asarray(arrays[t_name], np.float64)
+    inten = np.asarray(arrays[i_name], np.float32)
+    lid = np.asarray(arrays[l_name], np.int64)
+
+    keep = np.any(xyz != 0.0, axis=1)
+    xyz, raw_t, inten, lid = xyz[keep], raw_t[keep], inten[keep], lid[keep]
+
+    if calibration is not None and calib_name is not None:
+        angles = calibration.get(calib_name) if hasattr(calibration, "get") \
+            else calibration
+        if angles is not None:
+            mapping = laser_id_mapping(angles)
+            lid = mapping[np.clip(lid, 0, len(mapping) - 1)]
+
+    frame_end = float(raw_t.max()) if len(raw_t) else 0.0
+    out = {"xyz": xyz.astype(np.float32), "intensity": inten,
+           "laser_id": lid,
+           "time": ((raw_t - frame_end) * factor).astype(np.float32),
+           "stamp": frame_end * factor, "device_id": device_id,
+           "vendor": vendor}
+    if seq is not None:
+        out["seq"] = int(seq)
+    return out
+
+
+def advise_extractor_params(vendor, extractor_cfg):
+    """Per-vendor extractor-parameter advice (the CheckKEParameter warnings
+    at SLAM init, vtkSlam.cxx:567-596). Returns a list of warning strings."""
+    w = []
+    e = extractor_cfg
+    if vendor == "velodyne" and not (e.edge_intensity_gap_threshold < 100):
+        w.append("velodyne data: consider edge_intensity_gap_threshold < 100")
+    if vendor == "ouster":
+        if not (e.edge_intensity_gap_threshold >= 100):
+            w.append("ouster data: consider edge_intensity_gap_threshold >= 100")
+        if not (e.neighbor_width > 4):
+            w.append("ouster data: consider neighbor_width > 4")
+    if vendor == "hesai":
+        if not (e.edge_intensity_gap_threshold > 1e6):
+            w.append("hesai data: consider edge_intensity_gap_threshold > 1e6")
+        if not (e.neighbor_width > 4):
+            w.append("hesai data: consider neighbor_width > 4")
+        if not (e.min_distance_to_sensor < 1):
+            w.append("hesai data: consider min_distance_to_sensor < 1")
+    return w
+
+
+# -----------------------------------------------------------------------------
 # WGS84 -> UTM
 # -----------------------------------------------------------------------------
 

@@ -138,3 +138,59 @@ def test_slam_set_sensor_data(tmp_path):
     assert slam.wheel_odom.can_be_used()
     assert slam.set_sensor_data("") == {"odometry": 0, "imu": 0}
     assert not slam.wheel_odom.can_be_used()
+
+
+# -----------------------------------------------------------------------------
+# Vendor array autodetection (vtkSlam::IdentifyInputArrays, vtkSlam.cxx:531-612)
+# -----------------------------------------------------------------------------
+
+def _vendor_arrays(vendor, n=100, rings=8):
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(0, 10, (n, 3))
+    xyz[5] = 0.0  # all-zero point: must be dropped (PolyDataToPointCloud)
+    lid = rng.integers(0, rings, n)
+    inten = rng.uniform(0, 255, n)
+    t_s = np.linspace(100.0, 100.1, n)  # seconds
+    if vendor == "velodyne":
+        return xyz, {"adjustedtime": t_s * 1e6, "intensity": inten,
+                     "laser_id": lid}, t_s
+    if vendor == "ouster":
+        return xyz, {"Raw Timestamp": t_s * 1e9, "Signal Photons": inten,
+                     "Channel": lid}, t_s
+    return xyz, {"Timestamp": t_s, "Intensity": inten, "LaserID": lid}, t_s
+
+
+@pytest.mark.parametrize("vendor", ["velodyne", "ouster", "hesai"])
+def test_autodetect_vendor_time_units(vendor):
+    xyz, arrays, t_s = _vendor_arrays(vendor)
+    f = cv.autodetect_frame(xyz, arrays)
+    assert f["vendor"] == vendor
+    assert len(f["xyz"]) == 99  # zero point dropped
+    # frame stamp = frame-end time in seconds; per-point time rebased <= 0
+    np.testing.assert_allclose(f["stamp"], t_s[-1], atol=2e-5)
+    assert np.all(f["time"] <= 1e-6)
+    np.testing.assert_allclose(f["time"].min(), t_s[0] - t_s[-1], atol=2e-5)
+
+
+def test_autodetect_unknown_arrays_raises():
+    with pytest.raises(ValueError, match="unable to identify"):
+        cv.autodetect_frame(np.zeros((4, 3)), {"foo": np.zeros(4)})
+
+
+def test_autodetect_laser_id_calibration_remap():
+    xyz, arrays, _ = _vendor_arrays("ouster", rings=4)
+    # vertical angles out of order: laser 0 is the topmost
+    angles = np.array([15.0, -5.0, 5.0, -15.0])
+    f = cv.autodetect_frame(xyz, arrays, calibration={"Altitude Angles": angles})
+    raw = np.asarray(arrays["Channel"])[np.any(xyz != 0, axis=1)]
+    want = np.array([3, 1, 2, 0])[raw]  # bottom-up rank of each laser
+    np.testing.assert_array_equal(f["laser_id"], want)
+
+
+def test_advise_extractor_params():
+    from lidarslam_tpu.config import ExtractorConfig
+
+    cfg = ExtractorConfig()  # defaults: gap 50, width 4, min dist 1.5
+    assert cv.advise_extractor_params("velodyne", cfg) == []
+    assert len(cv.advise_extractor_params("ouster", cfg)) == 2
+    assert len(cv.advise_extractor_params("hesai", cfg)) == 3
