@@ -96,18 +96,47 @@ def cmd_run(args):
     os.makedirs(args.out, exist_ok=True)
 
     poses, evals, summaries = [], [], []
-    for i, f in enumerate(frames):
-        r = slam.add_frame(f)
-        if "skipped" in r:
-            print(f"frame {i}: skipped ({r['skipped']})", file=sys.stderr)
-            continue
-        poses.append((f["stamp"], r["pose"]))
-        evals.append((f["stamp"], r["overlap"], r["n_matches"], r["duration"]))
-        summaries.append(r)
-        if args.verbosity >= 1:
-            p = r["pose"][:3, 3]
-            print(f"frame {i}: pos [{p[0]:.3f} {p[1]:.3f} {p[2]:.3f}] "
-                  f"matches {r['n_matches']} {r['duration']*1000:.0f} ms")
+    if getattr(args, "follow", False):
+        # live output stream: the vtkSlam port surface as a subscription
+        # (outputs.FrameOutput); frames run through the streaming path and
+        # every flushed frame is reported as it lands
+        import time as _time
+
+        def on_frame(o):
+            p = o.pose[:3, 3]
+            print(f"frame {o.frame_index}: stamp {o.stamp:.3f} "
+                  f"pos [{p[0]:.3f} {p[1]:.3f} {p[2]:.3f}] "
+                  f"matches {o.n_matches} overlap {o.overlap:.2f}"
+                  f"{' KF' if o.is_keyframe else ''}", flush=True)
+            poses.append((o.stamp, o.pose))
+            summaries.append({"overlap": o.overlap, "n_matches": o.n_matches,
+                              "failure": o.failure,
+                              "comply_motion_limits": o.comply_motion_limits,
+                              "covariance": o.covariance, "pose": o.pose})
+
+        slam.subscribe(on_frame)
+        t0 = _time.perf_counter()
+        for i, f in enumerate(frames):
+            slam.add_frame_async(f)
+            if (i + 1) % 16 == 0:
+                slam.flush()
+        slam.flush()
+        per = (_time.perf_counter() - t0) / max(len(poses), 1)
+        evals = [(s, r["overlap"], r["n_matches"], per)
+                 for (s, _), r in zip(poses, summaries)]
+    else:
+        for i, f in enumerate(frames):
+            r = slam.add_frame(f)
+            if "skipped" in r:
+                print(f"frame {i}: skipped ({r['skipped']})", file=sys.stderr)
+                continue
+            poses.append((f["stamp"], r["pose"]))
+            evals.append((f["stamp"], r["overlap"], r["n_matches"], r["duration"]))
+            summaries.append(r)
+            if args.verbosity >= 1:
+                p = r["pose"][:3, 3]
+                print(f"frame {i}: pos [{p[0]:.3f} {p[1]:.3f} {p[2]:.3f}] "
+                      f"matches {r['n_matches']} {r['duration']*1000:.0f} ms")
 
     csv_log.write_poses_csv(os.path.join(args.out, "Poses.csv"), poses)
     csv_log.write_evaluators_csv(os.path.join(args.out, "Evaluators.csv"), evals)
@@ -267,6 +296,9 @@ def main(argv=None):
     run.add_argument("--log-dir",
                      help="write the keypoint log as PCDs here (DISK storage)")
     run.add_argument("--verbosity", type=int, default=0)
+    run.add_argument("--follow", action="store_true",
+                     help="stream frames and print each result live "
+                          "(subscription over the streaming path)")
     run.set_defaults(fn=cmd_run)
 
     ext = sub.add_parser("extract",

@@ -582,6 +582,35 @@ def process_stream_window(ri_stack, state: StreamState, stamps, az_res,
     return state, packed, kps_flat
 
 
+def seed_stream_state(maps: tuple, pose, prev_pose, t_cur, t_prev, kf_pose,
+                      kf_counter, origin_vox, n_frames, map_update,
+                      cfg: SlamConfig, map_cfgs: tuple,
+                      sharded: bool = False) -> StreamState:
+    """Seed a streaming segment from host state in ONE traced program.
+
+    Eagerly building the ~30 leaves of a StreamState (zeros, map copies,
+    scalar uploads) costs one device round-trip EACH over a high-latency
+    tunnel (~2 s measured per segment start); under jit it is one dispatch.
+    Inputs are NOT donated, so the outputs are fresh buffers — host-held
+    references to the passed maps stay valid when the new state is later
+    donated (the copy the eager path did explicitly)."""
+    st = init_stream_state(cfg, map_cfgs, sharded=sharded)
+    # jnp.copy (not asarray): a pass-through output would alias the caller's
+    # buffers, which the next streaming dispatch donates
+    return st._replace(
+        maps=tuple(None if m is None else jax.tree.map(jnp.copy, m)
+                   for m in maps),
+        pose=jnp.asarray(pose, jnp.float32),
+        prev_pose=jnp.asarray(prev_pose, jnp.float32),
+        t_cur=jnp.asarray(t_cur, jnp.float32),
+        t_prev=jnp.asarray(t_prev, jnp.float32),
+        kf_pose=jnp.asarray(kf_pose, jnp.float32),
+        kf_counter=jnp.asarray(kf_counter, jnp.int32),
+        origin_vox=jnp.asarray(origin_vox, jnp.int32),
+        n_frames=jnp.asarray(n_frames, jnp.int32),
+        map_update=jnp.asarray(map_update, bool))
+
+
 def init_stream_state(cfg: SlamConfig, map_cfgs,
                       sharded: bool = False) -> StreamState:
     from lidarslam_tpu.ops.frame import Keypoints as _KP

@@ -113,6 +113,11 @@ class Slam:
                 pipeline.process_stream_window,
                 static_argnames=("cfg", "map_cfgs"),
                 donate_argnums=(1,))
+            # segment (re-)seeding as one dispatch: eager per-leaf uploads
+            # cost a tunnel round-trip each (~2 s per segment start)
+            self._seed_stream = jax.jit(
+                pipeline.seed_stream_state,
+                static_argnames=("cfg", "map_cfgs", "sharded"))
         else:
             # multi-chip SPMD: the same pipeline under shard_map — matcher +
             # solver shard over the mesh's kp axis, psum-reduced normal
@@ -150,6 +155,32 @@ class Slam:
         self._warp_points = jax.jit(undistortion.warp_points)
         # per-LiDAR-device calibration: BASE <- LIDAR (Slam.h:502-505)
         self.base_to_lidar_offsets: Dict[int, np.ndarray] = {}
+        # live output subscribers (vtkSlam 8-port surface; outputs.py).
+        # Survives reset(): subscriptions are wiring, not SLAM state.
+        self._subscribers: list = []
+
+    def subscribe(self, callback):
+        """Register a per-frame output callback (LidarSlamNode::PublishOutput
+        / vtkSlam output-port role): called with a `outputs.FrameOutput`
+        after every processed (sync) or flushed (streaming) frame. Array
+        ports are lazy — a pose-only consumer adds no device traffic.
+        Returns an unsubscribe function."""
+        self._subscribers.append(callback)
+
+        def unsubscribe():
+            if callback in self._subscribers:
+                self._subscribers.remove(callback)
+        return unsubscribe
+
+    def _emit_output(self, stamp, summary, is_keyframe, views):
+        if not self._subscribers:
+            return
+        from lidarslam_tpu.outputs import FrameOutput
+
+        out = FrameOutput(self, stamp, self.n_frames - 1, summary,
+                          is_keyframe, views)
+        for cb in list(self._subscribers):
+            cb(out)
 
     # ------------------------------------------------------------------
     # State
@@ -392,16 +423,14 @@ class Slam:
         cfg = self.cfg
         if getattr(self, "_stream_state", None) is not None:
             return
-        self._stream_state = pipeline.init_stream_state(
-            cfg, self._map_cfgs_tuple, sharded=self.mesh is not None)
-        self._stream_state = self._stream_state._replace(
-            map_update=jnp.asarray(self.mapping_mode != MappingMode.NONE))
         self._stream_pending = []
         self._window_buf = []
         self._stream_enqueued = 0
-        if self._maps_populated or self.n_frames > 0:
+        seeded = self._maps_populated or self.n_frames > 0
+        if seeded:
             # seed from the host state (previous segment / preloaded maps);
-            # maps are copied because the stream state gets donated
+            # the seeder's inputs are not donated, so host-held map
+            # references survive later donation of the new state
             res_m = voxel_map.effective_resolution(
                 self._map_cfgs_tuple[int(cfg.used_types[0])])
             rel = self.Tworld.copy()
@@ -413,18 +442,31 @@ class Slam:
             t_cur = self.log_trajectory[-1]["time"] if self.log_trajectory else 0.0
             t_prev = self.log_trajectory[-2]["time"] if len(self.log_trajectory) > 1 \
                 else t_cur
+            seed_args = (
+                tuple(self.maps.get(Keypoint(i)) for i in range(3)),
+                se3.hmat_to_pose(rel).astype(np.float32),
+                se3.hmat_to_pose(prev_rel).astype(np.float32),
+                np.float32(t_cur), np.float32(t_prev),
+                se3.hmat_to_pose(kf_rel).astype(np.float32),
+                np.int32(self.kf_counter),
+                np.round(self.map_origin / res_m).astype(np.int32),
+                np.int32(max(self.n_frames, 1)),
+                np.bool_(self.mapping_mode != MappingMode.NONE))
+            if self.mesh is None:
+                self._stream_state = self._seed_stream(
+                    *seed_args, cfg=cfg, map_cfgs=self._map_cfgs_tuple,
+                    sharded=False)
+            else:
+                # mesh path: keep the eager seed (placement handled by the
+                # SPMD wrapper; segment restarts are not its hot path)
+                self._stream_state = pipeline.seed_stream_state(
+                    *seed_args, cfg=cfg, map_cfgs=self._map_cfgs_tuple,
+                    sharded=True)
+        else:
+            self._stream_state = pipeline.init_stream_state(
+                cfg, self._map_cfgs_tuple, sharded=self.mesh is not None)
             self._stream_state = self._stream_state._replace(
-                maps=tuple(None if self.maps.get(Keypoint(i)) is None
-                           else jax.tree.map(jnp.copy, self.maps[Keypoint(i)])
-                           for i in range(3)),
-                pose=jnp.asarray(se3.hmat_to_pose(rel), jnp.float32),
-                prev_pose=jnp.asarray(se3.hmat_to_pose(prev_rel), jnp.float32),
-                t_cur=jnp.float32(t_cur), t_prev=jnp.float32(t_prev),
-                kf_pose=jnp.asarray(se3.hmat_to_pose(kf_rel), jnp.float32),
-                kf_counter=jnp.int32(self.kf_counter),
-                origin_vox=jnp.asarray(
-                    np.round(self.map_origin / res_m), jnp.int32),
-                n_frames=jnp.int32(max(self.n_frames, 1)))
+                map_update=jnp.asarray(self.mapping_mode != MappingMode.NONE))
 
     def _stream_extras(self, stamp):
         """Sensor residual blocks for a streaming step (map-frame rebased)."""
@@ -454,6 +496,9 @@ class Slam:
         # transfers overlap into ~one round-trip over the tunnel (windowed
         # entries already carry (W, 64) stacks — a handful of leaves total)
         packed_rows = jax.device_get([p["packed"] for p in self._stream_pending])
+        # maps first: subscriber callbacks during the loop may read the map
+        # ports (segment-final maps — they only advance on device)
+        self.maps = {k: self._stream_state.maps[int(k)] for k in cfg.used_types}
         outs = []
         for entry, rows in zip(self._stream_pending, packed_rows):
             rows = np.atleast_2d(np.asarray(rows))
@@ -501,6 +546,8 @@ class Slam:
                              "n_matches": int(u["total"]), "overlap": u["overlap"],
                              "failure": u["failed"],
                              "comply_motion_limits": self.comply_motion_limits})
+                self._emit_output(stamp, outs[-1], u["is_kf"],
+                                  self.current_keypoints)
         self.maps = {k: self._stream_state.maps[int(k)] for k in cfg.used_types}
         # the last frame's structured keypoints live in the stream state;
         # safe to hand out — the segment ends here so they are never donated
@@ -741,7 +788,7 @@ class Slam:
         self._last_weights = res.weights
         self.n_frames += 1
         self.latency = _time.perf_counter() - t0
-        return {
+        ret = {
             "pose": self.Tworld.copy(),
             "covariance": self.covariance.copy(),
             "n_matches": int(self.total_matched_keypoints),
@@ -750,6 +797,8 @@ class Slam:
             "failure": self.failure,
             "duration": self.latency,
         }
+        self._emit_output(stamp, ret, bool(is_kf), self.current_keypoints)
+        return ret
 
     def _log_state(self, stamp):
         """Trajectory/covariance/keypoint logging with timeout pruning
