@@ -51,10 +51,32 @@ def test_trajectory_tracks_ground_truth(run):
         errs_r.append(ang)
     errs_t = np.asarray(errs_t)
     errs_r = np.asarray(errs_r)
-    # bounds sized for simulator noise (0.005 m ranges) + no undistortion
-    assert errs_t.max() < 0.15, f"position errors {errs_t}"
-    assert errs_r.max() < 1.5, f"rotation errors {errs_r}"
-    assert errs_t[-1] < 0.12
+    # measured ~0.026 m / 0.2 deg on this sequence (leaf-sampled map sets
+    # the floor, not sensor noise); bounds at ~2.5x the measurement. The
+    # reference CI's 0.01 m contract is regression-vs-golden, covered by
+    # test_deterministic_replay below.
+    assert errs_t.max() < 0.07, f"position errors {errs_t}"
+    assert errs_r.max() < 0.8, f"rotation errors {errs_r}"
+    assert errs_t[-1] < 0.06
+
+
+def test_trajectory_noise_free_tracks_tight():
+    """No-noise scenario: absolute ground-truth error at the map-resolution
+    floor (measured 0.026 m / 0.19 deg; bounds ~1.5x)."""
+    frames = synthetic.generate_sequence(
+        n_frames=15, motion_distortion=False,
+        sensor=synthetic.SensorModel(range_noise=0.0))
+    slam = Slam(small_config())
+    gt0 = frames[0]["gt_pose"]
+    errs_t, errs_r = [], []
+    for f in frames:
+        r = slam.add_frame(f)
+        gt = se3.hmat_inverse(gt0) @ f["gt_pose"]
+        errs_t.append(np.linalg.norm(r["pose"][:3, 3] - gt[:3, 3]))
+        dR = gt[:3, :3].T @ r["pose"][:3, :3]
+        errs_r.append(np.rad2deg(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))))
+    assert max(errs_t) < 0.04, errs_t
+    assert max(errs_r) < 0.3, errs_r
 
 
 def test_no_failures_and_matches_healthy(run):
