@@ -73,8 +73,10 @@ def test_sharded_full_pipeline_matches_single_device():
         ang = np.rad2deg(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
         # identical math up to psum reassociation; bounds leave room for the
         # reassociated float32 normal equations feeding back through ICP
-        assert dt < 0.02, f"frame {i}: position diff {dt}"
-        assert ang < 0.2, f"frame {i}: rotation diff {ang}"
+        # pure float32 reassociation across the psum: measured ~6e-5 m
+        # on 15 frames (dryrun equivalence); bound at ~1e-3
+        assert dt < 1e-3, f"frame {i}: position diff {dt}"
+        assert ang < 0.01, f"frame {i}: rotation diff {ang}"
     # identical map content scale
     k = list(ref.maps)[0]
     n_ref = len(ref.get_map_points(k)[0])
@@ -107,7 +109,7 @@ def test_sharded_map_pipeline_matches_single_device():
 
     for i, (a, b) in enumerate(zip(ref_poses, sm_poses)):
         dt = np.linalg.norm(a[:3, 3] - b[:3, 3])
-        assert dt < 0.02, f"frame {i}: position diff {dt}"
+        assert dt < 1e-3, f"frame {i}: position diff {dt}"
     # identical map content (the sharded map holds the same leaves)
     for k in ref.maps:
         pr = ref.get_map_points(k)[0]
@@ -145,4 +147,4 @@ def test_sharded_streaming_matches_sync():
     assert len(outs) == len(frames)
     for i, (a, o) in enumerate(zip(sync_poses, outs)):
         dt = np.linalg.norm(a[:3, 3] - o["pose"][:3, 3])
-        assert dt < 0.05, f"frame {i}: stream-vs-sync diff {dt}"
+        assert dt < 1e-3, f"frame {i}: stream-vs-sync diff {dt}"
