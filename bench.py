@@ -2,10 +2,16 @@
 """Benchmark: steady-state scans/s of the full SLAM pipeline.
 
 Runs the complete per-sweep pipeline (range image -> extraction -> ego-motion
--> scan-to-map ICP -> map update) on synthetic VLP-16-class sweeps and prints
-ONE JSON line. Baseline: the reference's stated real-time target of keeping
-up with a 10 Hz spinning LiDAR on a commodity CPU (BASELINE.md — the
-reference publishes no absolute scans/s), so vs_baseline = scans_per_sec / 10.
+-> scan-to-map ICP -> map update) and prints ONE JSON line. By default BOTH
+headline configs are measured: the primary VLP-16-class stream (16 rings,
+~24k pts) and the 64-beam KITTI-class stream (64 rings, 8k keypoint budget,
+~98k pts) — each with its device-busy fraction and a measured
+roofline/MFU estimate (analytic FLOP+byte model of the dominant kernels over
+the traced device time, vs the chip's public bf16/HBM peaks).
+
+Baseline: the reference's stated real-time target of keeping up with a 10 Hz
+spinning LiDAR on a commodity CPU (BASELINE.md — the reference publishes no
+absolute scans/s), so vs_baseline = scans_per_sec / 10.
 """
 
 import argparse
@@ -13,61 +19,77 @@ import json
 import sys
 import time
 
+# public TPU v5e peaks (chip in this environment: "TPU v5 lite"):
+# 197 TFLOP/s bf16 MXU, 819 GB/s HBM. The f32 VPU peak is not published;
+# fractions below use the bf16 MXU peak as a conservative UPPER-BOUND
+# denominator, so frac_* values understate true utilization.
+V5E_BF16_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=120, help="timed frames")
-    ap.add_argument("--warmup", type=int, default=18, help="warmup frames (compiles; "
-                    "covers first-frame, windowed-scan and drain graphs)")
-    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--rings", type=int, default=16, help="laser rings (16=VLP-16, 128=VLS-128)")
-    ap.add_argument("--azimuth", type=int, default=1800, help="firings per ring per sweep")
-    ap.add_argument("--stream", dest="stream", action="store_true", default=True,
-                    help="device-chained streaming mode (default)")
-    ap.add_argument("--no-stream", dest="stream", action="store_false",
-                    help="synchronous per-frame API instead of streaming")
-    ap.add_argument("--verbose", action="store_true")
-    ap.add_argument("--no-profile", dest="profile", action="store_false",
-                    default=True,
-                    help="skip the post-bench device-busy trace")
-    ap.add_argument("--profile-frames", type=int, default=8,
-                    help="frames traced for the device-busy measurement")
-    args = ap.parse_args()
 
+def _roofline(cfg, device_ms_per_frame, xplane, nprof):
+    """Analytic FLOP+byte model of the dominant kernel (the brute/Pallas
+    k-NN: the matcher scans M map slots per query, 8 flops per distance;
+    HBM traffic = the 3 map coordinate planes per TQ=64-query tile) over
+    the MEASURED device time, plus the top traced op categories. The model
+    counts un-pruned work, so achieved_* are upper bounds on useful
+    arithmetic; frac_hbm_peak ~ how far the fused kernel sits from
+    bandwidth-bound (staying low is the point of keeping distances in
+    VMEM)."""
+    from lidarslam_tpu.config import Keypoint
+    from lidarslam_tpu.utils import profiling
+
+    Q = cfg.extractor.max_keypoints
+    rounds = cfg.localization_icp_max_iter
+    flops = 0.0
+    bytes_ = 0.0
+    for t in cfg.used_types:
+        M = cfg.map_config(t).capacity
+        flops += rounds * Q * M * 8.0
+        bytes_ += rounds * (Q / 64.0) * M * 12.0
+    out = {
+        "model_gflop_per_frame": round(flops / 1e9, 2),
+        "model_hbm_mb_per_frame": round(bytes_ / 1e6, 1),
+        "achieved_tflops": round(flops / 1e12 / (device_ms_per_frame / 1e3), 2),
+        "achieved_hbm_gbps": round(bytes_ / 1e9 / (device_ms_per_frame / 1e3), 1),
+    }
+    out["frac_bf16_peak"] = round(out["achieved_tflops"] / V5E_BF16_TFLOPS, 3)
+    out["frac_hbm_peak"] = round(out["achieved_hbm_gbps"] / V5E_HBM_GBPS, 3)
+    # where the device time actually goes (top leaf-op categories, ms/frame)
+    try:
+        _, _, cat, _ = profiling.op_totals(xplane)
+        top = cat.most_common(3)
+        out["top_ops_ms_per_frame"] = {k: round(v / nprof, 2) for k, v in top}
+    except Exception:
+        pass
+    return out
+
+
+def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
     import jax
-    if args.cpu:
-        jax.config.update("jax_platform_name", "cpu")
-    # persistent compilation cache: TPU compiles over the tunnel are slow,
-    # so amortize them across bench invocations
-    import os
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     import numpy as np
     from lidarslam_tpu import Slam, SlamConfig
     from lidarslam_tpu.config import ExtractorConfig, MapConfig
     from lidarslam_tpu.io import synthetic
 
-    ring_cap = 1 << (args.azimuth - 1).bit_length()
-    kp_cap = 2048 if args.rings <= 32 else 8192
+    ring_cap = 1 << (azimuth - 1).bit_length()
+    kp_cap = 2048 if rings <= 32 else 8192
     cfg = SlamConfig(
-        extractor=ExtractorConfig(n_rings=args.rings, max_ring_points=ring_cap,
+        extractor=ExtractorConfig(n_rings=rings, max_ring_points=ring_cap,
                                   max_keypoints=kp_cap),
         edge_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
         plane_map=MapConfig(leaf_size=0.60, capacity=1 << 16),
         blob_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
     )
 
-    n_total = args.warmup + args.frames
-    nprof = args.profile_frames if args.profile else 0
-    sensor = synthetic.SensorModel(n_rings=args.rings, n_azimuth=args.azimuth)
+    n_total = warmup + frames_n
+    nprof = profile_frames if args.profile else 0
+    sensor = synthetic.SensorModel(n_rings=rings, n_azimuth=azimuth)
     t0 = time.perf_counter()
-    # the trailing nprof frames continue the sequence for the traced window
     frames = synthetic.generate_sequence(n_frames=n_total + nprof, sensor=sensor,
                                          motion_distortion=False)
     if args.verbose:
-        print(f"# rendered {n_total} sweeps "
+        print(f"# [{rings}r] rendered {n_total} sweeps "
               f"(~{len(frames[0]['xyz'])} pts each) in {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
 
@@ -78,56 +100,47 @@ def main():
         # seeded segment restart (two warmup segments) — so the timed
         # section replays cached executables only
         t0 = time.perf_counter()
-        half = max(args.warmup // 2, 1)
+        half = max(warmup // 2, 1)
         for i in range(half):
             slam.add_frame_async(frames[i])
         slam.flush()
-        for i in range(half, args.warmup):
+        for i in range(half, warmup):
             slam.add_frame_async(frames[i])
         rs = slam.flush()
         if args.verbose:
-            print(f"# warmup x{args.warmup}: {(time.perf_counter()-t0)*1000:.0f} ms "
+            print(f"# [{rings}r] warmup x{warmup}: "
+                  f"{(time.perf_counter()-t0)*1000:.0f} ms "
                   f"matches={rs[-1].get('n_matches')}", file=sys.stderr)
     else:
-        for i in range(args.warmup):
+        for i in range(warmup):
             r = slam.add_frame(frames[i])
             if args.verbose:
-                print(f"# warmup {i}: {r.get('duration', 0)*1000:.0f} ms "
+                print(f"# [{rings}r] warmup {i}: {r.get('duration', 0)*1000:.0f} ms "
                       f"matches={r.get('n_matches')}", file=sys.stderr)
 
     t0 = time.perf_counter()
-    durations = []
     if args.stream:
-        for i in range(args.warmup, n_total):
+        for i in range(warmup, n_total):
             slam.add_frame_async(frames[i])
         outs = slam.flush()
         wall = time.perf_counter() - t0
-        durations = [wall / args.frames] * args.frames
         for i, r in enumerate(outs):
             if r.get("failure"):
                 print(f"# WARNING frame {i} failed", file=sys.stderr)
     else:
-        for i in range(args.warmup, n_total):
+        for i in range(warmup, n_total):
             nxt = frames[i + 1] if i + 1 < n_total else None
             r = slam.add_frame(frames[i], next_frame=nxt)
-            durations.append(r["duration"])
             if r.get("failure"):
                 print(f"# WARNING frame {i} failed", file=sys.stderr)
         wall = time.perf_counter() - t0
 
-    scans_per_sec = args.frames / wall
+    scans_per_sec = frames_n / wall
     if args.verbose:
-        d = np.asarray(durations) * 1000
-        print(f"# per-frame ms: mean {d.mean():.1f} p50 {np.percentile(d,50):.1f} "
-              f"p95 {np.percentile(d,95):.1f}", file=sys.stderr)
-        print(f"# backend: {jax.default_backend()}", file=sys.stderr)
+        print(f"# [{rings}r] wall {1000*wall/frames_n:.1f} ms/frame, "
+              f"backend {jax.default_backend()}", file=sys.stderr)
 
-    record = {
-        "metric": "scans_per_sec",
-        "value": round(scans_per_sec, 2),
-        "unit": "scans/s",
-        "vs_baseline": round(scans_per_sec / 10.0, 3),
-    }
+    record = {"scans_per_sec": round(scans_per_sec, 2)}
 
     # device-busy fraction: trace a short continuation window and sum the
     # trace's "XLA Modules" occupancy (utils/profiling.py). The fraction is
@@ -151,12 +164,74 @@ def main():
             xp = profiling.find_xplane(logdir)
             busy = profiling.device_busy_ms(xp) if xp is not None else 0.0
             if busy > 0.0:   # CPU runs have no TPU/Device plane
-                record["device_busy_ms_per_frame"] = round(busy / nprof, 2)
+                dev_ms = busy / nprof
+                record["device_busy_ms_per_frame"] = round(dev_ms, 2)
                 record["device_busy_frac"] = round(
-                    (busy / nprof) / (1000.0 * wall / args.frames), 3)
+                    dev_ms / (1000.0 * wall / frames_n), 3)
+                record["roofline"] = _roofline(cfg, dev_ms, xp, nprof)
         except Exception as e:  # never let profiling break the bench line
-            print(f"# profiling skipped: {e}", file=sys.stderr)
+            print(f"# [{rings}r] profiling skipped: {e}", file=sys.stderr)
+    return record
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=120, help="timed frames")
+    ap.add_argument("--warmup", type=int, default=18, help="warmup frames (compiles; "
+                    "covers first-frame, windowed-scan, drain and reseed graphs)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--rings", type=int, default=None,
+                    help="run ONE config with this ring count instead of both "
+                    "headline configs (16=VLP-16, 64=KITTI-class, 128=VLS-128)")
+    ap.add_argument("--azimuth", type=int, default=1800, help="firings per ring per sweep")
+    ap.add_argument("--stream", dest="stream", action="store_true", default=True,
+                    help="device-chained streaming mode (default)")
+    ap.add_argument("--no-stream", dest="stream", action="store_false",
+                    help="synchronous per-frame API instead of streaming")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--no-profile", dest="profile", action="store_false",
+                    default=True,
+                    help="skip the post-bench device-busy trace")
+    ap.add_argument("--profile-frames", type=int, default=8,
+                    help="frames traced for the device-busy measurement")
+    ap.add_argument("--skip-64beam", action="store_true",
+                    help="measure only the primary VLP-16 config")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platform_name", "cpu")
+    # persistent compilation cache: TPU compiles over the tunnel are slow,
+    # so amortize them across bench invocations
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.rings is not None:
+        rec = run_config(args, args.rings, args.azimuth, args.frames,
+                         args.warmup, args.profile_frames)
+        record = {"metric": "scans_per_sec", "value": rec.pop("scans_per_sec"),
+                  "unit": "scans/s"}
+        record["vs_baseline"] = round(record["value"] / 10.0, 3)
+        record.update(rec)
+        print(json.dumps(record))
+        return
+
+    # both headline configs, one JSON line
+    rec16 = run_config(args, 16, args.azimuth, args.frames, args.warmup,
+                       args.profile_frames)
+    record = {"metric": "scans_per_sec", "value": rec16.pop("scans_per_sec"),
+              "unit": "scans/s"}
+    record["vs_baseline"] = round(record["value"] / 10.0, 3)
+    record.update(rec16)
+    if not args.skip_64beam:
+        # KITTI-class secondary config: fewer timed frames (device-bound,
+        # ~5x the per-frame work)
+        rec64 = run_config(args, 64, args.azimuth, max(args.frames // 2, 30),
+                           args.warmup, args.profile_frames)
+        record["config_64beam"] = rec64
+        record["vs_baseline_64beam"] = round(rec64["scans_per_sec"] / 10.0, 3)
     print(json.dumps(record))
 
 

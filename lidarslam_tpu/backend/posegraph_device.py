@@ -82,8 +82,8 @@ def solve_block_tridiag_scan(D, U, rhs):
     return x[..., 0] if squeeze else x
 
 
-@partial(jax.jit, static_argnames=("n_segments",))
-def solve_block_tridiag_schur(D, U, rhs, n_segments: int):
+@partial(jax.jit, static_argnames=("n_segments", "mesh"))
+def solve_block_tridiag_schur(D, U, rhs, n_segments: int, mesh=None):
     """Segment-Schur solve: parallel interior elimination, scan on the
     (n_segments - 1)-separator reduced system, parallel back-substitution.
 
@@ -91,6 +91,14 @@ def solve_block_tridiag_schur(D, U, rhs, n_segments: int):
     tridiagonal system. The chain is padded with decoupled identity blocks
     so every segment interior has equal length m (padding unknowns solve to
     zero and cannot affect the rest: their couplings are zero).
+
+    With `mesh` (a jax.sharding.Mesh), the per-segment interior work — the
+    dominant cost, eliminated here by vmap — is SHARDED over the mesh's
+    devices via GSPMD sharding constraints: each device owns a contiguous
+    range of segments (the keyframe-range partitioning of SURVEY §7
+    hard-part 6), eliminates its interiors locally, and only the tiny
+    (S-1)-separator system is solved replicated. Cross-device traffic is
+    the segment-endpoint blocks only.
     """
     squeeze = rhs.ndim == 2
     if squeeze:
@@ -101,6 +109,18 @@ def solve_block_tridiag_schur(D, U, rhs, n_segments: int):
     if S <= 1 or N < 2 * S:
         x = solve_block_tridiag_scan(D, U, rhs)
         return x[..., 0] if squeeze else x
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        seg_axis = mesh.axis_names[0]
+        _seg_sharding = NamedSharding(mesh, PartitionSpec(seg_axis))
+
+        def shard_segments(a):
+            return jax.lax.with_sharding_constraint(a, _seg_sharding)
+    else:
+        def shard_segments(a):
+            return a
 
     # layout: [int_0 (m) | sep_0 | int_1 (m) | sep_1 | ... | int_{S-1} (m)]
     m = -(-(N - (S - 1)) // S)
@@ -129,7 +149,11 @@ def solve_block_tridiag_schur(D, U, rhs, n_segments: int):
         jnp.swapaxes(c_prev, -1, -2))
     BR = jnp.zeros((S, m, B, B), D.dtype).at[:, m - 1].set(a)
     big_rhs = jnp.concatenate([rhs_int, BL, BR], -1)      # (S, m, B, r+2B)
-    sol = jax.vmap(solve_block_tridiag_scan)(D_int, U_int, big_rhs)
+    D_int = shard_segments(D_int)
+    U_int = shard_segments(U_int)
+    big_rhs = shard_segments(big_rhs)
+    sol = shard_segments(jax.vmap(solve_block_tridiag_scan)(
+        D_int, U_int, big_rhs))
     y = sol[..., :r]                                      # A^-1 rhs
     FL = sol[..., r:r + B]                                # A^-1 (e_0 (x) c_prev^T)
     FR = sol[..., r + B:]                                 # A^-1 (e_last (x) a)
@@ -146,7 +170,7 @@ def solve_block_tridiag_schur(D, U, rhs, n_segments: int):
     zpad = jnp.zeros((1, B, r), rhs.dtype)
     x_left = jnp.concatenate([zpad, x_sep])                # (S, B, r)
     x_right = jnp.concatenate([x_sep, zpad])
-    x_int = y - FL @ x_left[:, None] - FR @ x_right[:, None]
+    x_int = shard_segments(y - FL @ x_left[:, None] - FR @ x_right[:, None])
 
     # stitch back into chain order and drop padding
     x_full = jnp.concatenate([x_int, jnp.concatenate([x_sep, zpad])[:, None]],
@@ -195,10 +219,11 @@ def _assemble(X, Z, W_rel, gps_pos, gps_W, gps_vertex, offset, anchor,
     return D, U, b, cost
 
 
-@partial(jax.jit, static_argnames=("n_iterations", "has_gps", "n_segments"))
+@partial(jax.jit, static_argnames=("n_iterations", "has_gps", "n_segments",
+                                   "mesh"))
 def _pgo_iterations(X0, Z, W_rel, gps_pos, gps_W, gps_vertex, offset, anchor,
                     n_iterations: int, lam, ftol, gauge_weight,
-                    has_gps: bool, n_segments: int):
+                    has_gps: bool, n_segments: int, mesh=None):
     def cond(st):
         X, prev_cost, cost, it, done = st
         return (it < n_iterations) & ~done
@@ -211,7 +236,7 @@ def _pgo_iterations(X0, Z, W_rel, gps_pos, gps_W, gps_vertex, offset, anchor,
         diag = jnp.maximum(jnp.diagonal(D, axis1=-2, axis2=-1), 1e-9)
         Dd = D + lam * jax.vmap(jnp.diag)(diag)
         if n_segments > 1:
-            delta = solve_block_tridiag_schur(Dd, U, -b, n_segments)
+            delta = solve_block_tridiag_schur(Dd, U, -b, n_segments, mesh=mesh)
         else:
             delta = solve_block_tridiag_scan(Dd, U, -b)
         X_new = X @ se3.jse3_exp(delta)
@@ -235,13 +260,18 @@ def optimize_pose_graph_device(
     config: PoseGraphConfig = PoseGraphConfig(),
     n_segments: int = 0,
     verbose: bool = False,
+    mesh=None,
 ):
     """Drop-in device-backed replacement for posegraph.optimize_pose_graph.
 
     n_segments > 1 selects the segment-Schur solve (parallel interior
-    elimination); 0/1 selects the sequential scan sweep. Returns
+    elimination); 0/1 selects the sequential scan sweep. With `mesh`, the
+    interiors are additionally sharded over the mesh devices (keyframe-range
+    partitioning — the distributed pose graph). Returns
     (optimized_poses list[(4,4)], final_cost).
     """
+    if mesh is not None and n_segments < 2:
+        n_segments = 4 * mesh.devices.size
     N = len(slam_poses)
     X = np.stack([np.asarray(p, np.float64) for p in slam_poses])
     slam_times = np.asarray(slam_times, np.float64)
@@ -283,7 +313,7 @@ def optimize_pose_graph_device(
             lam=jnp.float64(config.init_lambda),
             ftol=jnp.float64(config.function_tolerance),
             gauge_weight=jnp.float64(config.gauge_weight),
-            has_gps=has_gps, n_segments=max(int(n_segments), 0))
+            has_gps=has_gps, n_segments=max(int(n_segments), 0), mesh=mesh)
         Xj, cost, it = jax.device_get((Xj, cost, it))
     if verbose:
         print(f"[pgo-device] {int(it)} iterations, cost {float(cost):.6e}")

@@ -897,7 +897,10 @@ class Slam:
                 else np.asarray(gps_covariances, np.float64),
                 gps_to_sensor_offset=gps_to_sensor_offset,
                 n_segments=n_segments,
-                verbose=cfg.verbosity >= 2)
+                verbose=cfg.verbosity >= 2,
+                # engine mesh => distributed solve: segment interiors
+                # sharded over the mesh devices (keyframe-range partition)
+                mesh=self.mesh)
         else:
             optimized, cost = posegraph.optimize_pose_graph(
                 poses, times, covs,

@@ -194,3 +194,28 @@ def test_g2o_dump(tmp_path):
     v3 = [ln for ln in lines if ln.startswith("VERTEX_SE3:QUAT 3 ")][0].split()
     t = np.array([float(x) for x in v3[2:5]])
     np.testing.assert_allclose(t, noisy[3][:3, 3], atol=1e-6)
+
+
+def test_device_pgo_sharded_over_mesh():
+    """Distributed pose graph: segment interiors eliminated across an
+    8-device mesh (keyframe-range partitioning, SURVEY §7 hard-part 6) must
+    reproduce the single-device solve on a 1000+-pose graph."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs XLA_FLAGS=--xla_force_host_platform_device_count=8")
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("seg",))
+    noisy, times, covs, gps_p, gps_t, gt = _make_graph(1024)
+    ref, ref_cost = optimize_pose_graph_device(
+        noisy, times, covs, gps_positions=gps_p, gps_times=gps_t,
+        n_segments=32)
+    t0 = time.perf_counter()
+    got, cost = optimize_pose_graph_device(
+        noisy, times, covs, gps_positions=gps_p, gps_times=gps_t, mesh=mesh)
+    dt = time.perf_counter() - t0
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    np.testing.assert_allclose(cost, ref_cost, rtol=1e-6)
+    err = max(np.linalg.norm(p[:3, 3] - g[:3, 3]) for p, g in zip(got, gt))
+    assert err < 0.3, err
+    assert dt < 30.0, f"sharded 1024-pose PGO took {dt:.1f}s (incl. compile)"
