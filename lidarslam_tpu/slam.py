@@ -343,9 +343,9 @@ class Slam:
         window = cfg.stream_window if self.mesh is None else 1
 
         if window > 1 and not first and not extras:
-            # host-built sweep buffers; stack + dispatch when the window fills
-            self._window_buf.append(
-                (self._build_ri(frame, device=False), stamp))
+            # upload each sweep NOW (async copy overlaps the in-flight
+            # window's device work); stack on device when the window fills
+            self._window_buf.append((self._build_ri(frame), stamp))
             if len(self._window_buf) >= window:
                 self._dispatch_window()
             self.last_stamp = frame["stamp"]
@@ -393,8 +393,7 @@ class Slam:
         """Dispatch a buffered partial window frame by frame (per-frame jit:
         a partial scan length would compile a fresh program per depth)."""
         buf, self._window_buf = self._window_buf, []
-        for ri_host, stamp in buf:
-            ri = frame_mod.to_device_range_image(ri_host)
+        for ri, stamp in buf:
             self._stream_state, packed, kps_flat = self._process_stream(
                 ri, self._stream_state, np.float32(stamp),
                 np.float32(self.azimuthal_resolution), self.cfg,
