@@ -307,12 +307,10 @@ def stack_range_images(ris):
     """Stack per-frame sweeps into one leading-axis-W container — the input
     of the windowed streaming dispatch (`pipeline.process_stream_window`).
 
-    Device inputs (`to_device_range_image` per frame at enqueue time) stack
-    with an on-device concat, so each frame's host->device copy OVERLAPS the
-    previous frames' compute instead of serializing as one W-frame transfer
-    at the window boundary (measured 24 ms/window of stalled upload at
-    64-beam scale, 1.3 MB/sweep over the tunnel). Host numpy inputs stack
-    host-side into a single upload (CPU backend path)."""
+    Host numpy inputs stack host-side into a SINGLE upload per window —
+    A/B-measured faster than per-frame device uploads with an on-device
+    stack (eager transfers pay a tunnel round-trip each). Device inputs
+    stack with an on-device concat (fallback)."""
     r0 = ris[0]
     if isinstance(r0, ByteRangeImage):
         bufs = [r.buf for r in ris]

@@ -343,9 +343,14 @@ class Slam:
         window = cfg.stream_window if self.mesh is None else 1
 
         if window > 1 and not first and not extras:
-            # upload each sweep NOW (async copy overlaps the in-flight
-            # window's device work); stack on device when the window fills
-            self._window_buf.append((self._build_ri(frame), stamp))
+            # host-built sweep buffers; one stacked upload + dispatch when
+            # the window fills. (A/B-measured against per-frame device
+            # uploads with an on-device stack: the eager per-frame
+            # transfers cost ~2 ms/frame of tunnel round-trips — 128 vs
+            # 174 scans/s at VLP-16 scale — so the single host-side stack
+            # wins despite serializing at the window boundary.)
+            self._window_buf.append(
+                (self._build_ri(frame, device=False), stamp))
             if len(self._window_buf) >= window:
                 self._dispatch_window()
             self.last_stamp = frame["stamp"]
@@ -393,7 +398,8 @@ class Slam:
         """Dispatch a buffered partial window frame by frame (per-frame jit:
         a partial scan length would compile a fresh program per depth)."""
         buf, self._window_buf = self._window_buf, []
-        for ri, stamp in buf:
+        for ri_host, stamp in buf:
+            ri = frame_mod.to_device_range_image(ri_host)
             self._stream_state, packed, kps_flat = self._process_stream(
                 ri, self._stream_state, np.float32(stamp),
                 np.float32(self.azimuthal_resolution), self.cfg,
