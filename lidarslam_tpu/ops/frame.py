@@ -44,19 +44,24 @@ class PackedRangeImage(NamedTuple):
     """Wire-compact sweep for host->device upload (~2x smaller than the f32
     RangeImage): coordinates quantized to 4 mm int16 (range +-131 m, well
     below spinning-LiDAR range noise), intensity uint8, times float16.
-    Decompressed on device at pipeline entry."""
+    Decompressed on device at pipeline entry — plain dtype converts, which
+    fuse for free (the single-byte-buffer ByteRangeImage variant needs a
+    u8->u16 bit-reassembly that lowers to a shift-left+reduce costing
+    3.8 ms/frame at 64-beam scale, profiled). Used by the windowed
+    streaming path, where W sweeps stack into 4 uploads per window."""
 
     xyz_q: jax.Array      # (R, C, 3) int16
     intensity: jax.Array  # (R, C) uint8
     time: jax.Array       # (R, C) float16
-    valid: jax.Array      # (R, C) bool
+    valid: jax.Array      # (R, C) bool or uint8
 
     def unpack(self) -> "RangeImage":
+        valid = self.valid if self.valid.dtype == jnp.bool_ else self.valid != 0
         return RangeImage(
             xyz=self.xyz_q.astype(jnp.float32) * XYZ_QUANT_SCALE,
             intensity=self.intensity.astype(jnp.float32),
             time=self.time.astype(jnp.float32),
-            valid=self.valid)
+            valid=valid)
 
 
 class ByteRangeImage:
@@ -246,8 +251,11 @@ def build_range_image(
                 XYZ_QUANT_SCALE)
             if out is not None:
                 q, inten8, t16, valid8 = out
-                return pack_range_image_bytes(q, inten8, t16, valid8,
-                                              device=device)
+                if not device:
+                    # window path: keep the quantized planes (cheap device
+                    # unpack; the window stacks them into 4 uploads)
+                    return PackedRangeImage(q, inten8, t16, valid8)
+                return pack_range_image_bytes(q, inten8, t16, valid8)
         else:
             out = native_mod.build_range_image_native(
                 xyz, intensity, laser_id, time, n_rings, max_ring_points)
@@ -290,10 +298,12 @@ def build_range_image(
 
     if packed:
         q = np.clip(np.round(img_xyz / XYZ_QUANT_SCALE), -32767, 32767).astype(np.int16)
-        return pack_range_image_bytes(
-            q, np.clip(img_int, 0, 255).astype(np.uint8),
-            img_time.astype(np.float16), img_valid.astype(np.uint8),
-            device=device)
+        inten8 = np.clip(img_int, 0, 255).astype(np.uint8)
+        t16 = img_time.astype(np.float16)
+        if not device:
+            return PackedRangeImage(q, inten8, t16, img_valid.astype(np.uint8))
+        return pack_range_image_bytes(q, inten8, t16,
+                                      img_valid.astype(np.uint8))
     up = jnp.asarray if device else (lambda a: a)
     return RangeImage(
         xyz=up(img_xyz),
@@ -312,24 +322,22 @@ def stack_range_images(ris):
     stack (eager transfers pay a tunnel round-trip each). Device inputs
     stack with an on-device concat (fallback)."""
     r0 = ris[0]
-    if isinstance(r0, ByteRangeImage):
-        bufs = [r.buf for r in ris]
-        if isinstance(bufs[0], np.ndarray):
-            return ByteRangeImage(jnp.asarray(np.stack(bufs)), r0.shape)
-        return ByteRangeImage(jnp.stack(bufs), r0.shape)
     def stack(leaves):
         if isinstance(leaves[0], np.ndarray):
             return jnp.asarray(np.stack(leaves))
         return jnp.stack(leaves)
-    return RangeImage(*(stack([getattr(r, f) for r in ris])
-                        for f in RangeImage._fields))
+    if isinstance(r0, ByteRangeImage):
+        return ByteRangeImage(stack([r.buf for r in ris]), r0.shape)
+    cls = type(r0)
+    return cls(*(stack([getattr(r, f) for r in ris]) for f in cls._fields))
 
 
 def to_device_range_image(ri):
     """Upload one host-built sweep (per-frame fallback of the window path)."""
     if isinstance(ri, ByteRangeImage):
         return ByteRangeImage(jnp.asarray(ri.buf), ri.shape)
-    return RangeImage(*(jnp.asarray(getattr(ri, f)) for f in RangeImage._fields))
+    cls = type(ri)
+    return cls(*(jnp.asarray(getattr(ri, f)) for f in cls._fields))
 
 
 def transform_keypoints(kp: Keypoints, pose6, time_offset=0.0) -> Keypoints:
