@@ -303,7 +303,15 @@ def optimize_pose_graph_device(
                                                np.float64) + np.eye(6) * 1e-8)
                       for i in range(N - 1)])
 
-    with jax.enable_x64(True):
+    # float64 linalg (world-scale coordinates) is host-side: TPU backends
+    # implement no f64 LU/solve, so the graph solve always runs on the CPU
+    # backend — it is 6x6-block work, not accelerator-shaped
+    import contextlib
+    try:
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    except Exception:   # no CPU backend registered: try the default device
+        ctx = contextlib.nullcontext()
+    with ctx, jax.enable_x64(True):
         Xj, cost, it = _pgo_iterations(
             jnp.asarray(X), jnp.asarray(Z), jnp.asarray(W_rel),
             jnp.asarray(gps_positions), jnp.asarray(gps_W),

@@ -158,6 +158,9 @@ class Slam:
         # live output subscribers (vtkSlam 8-port surface; outputs.py).
         # Survives reset(): subscriptions are wiring, not SLAM state.
         self._subscribers: list = []
+        # lazy single-thread worker for windowed streaming dispatches
+        self._window_executor = None
+        self._window_futures: list = []
 
     def subscribe(self, callback):
         """Register a per-frame output callback (LidarSlamNode::PublishOutput
@@ -383,20 +386,44 @@ class Slam:
         return idx
 
     def _dispatch_window(self):
-        """Run the buffered full window as one scan-chained dispatch."""
+        """Run the buffered full window as one scan-chained dispatch.
+
+        The stack + upload + dispatch runs on a single background worker
+        thread: the ~1-2 ms/frame of host sweep building (native ingest,
+        main thread) then OVERLAPS the window's multi-MB host->device
+        transfer and the previous window's device compute — numpy memcpy,
+        the ctypes ingest and the runtime's transfer all release the GIL.
+        A single worker keeps window order (the stream state chains);
+        every consumer of `_stream_state` syncs via `_window_sync` first."""
         buf, self._window_buf = self._window_buf, []
-        ris = frame_mod.stack_range_images([r for r, _ in buf])
-        stamps = np.asarray([s for _, s in buf], np.float32)
-        self._stream_state, packed, kps_flat = self._process_stream_window(
-            ris, self._stream_state, stamps,
-            np.float32(self.azimuthal_resolution), self.cfg,
-            self._map_cfgs_tuple)
-        self._stream_pending.append({"stamps": [s for _, s in buf],
-                                     "packed": packed, "kps_flat": kps_flat})
+
+        def run(buf=buf):
+            ris = frame_mod.stack_range_images([r for r, _ in buf])
+            stamps = np.asarray([s for _, s in buf], np.float32)
+            self._stream_state, packed, kps_flat = self._process_stream_window(
+                ris, self._stream_state, stamps,
+                np.float32(self.azimuthal_resolution), self.cfg,
+                self._map_cfgs_tuple)
+            self._stream_pending.append({"stamps": [s for _, s in buf],
+                                         "packed": packed,
+                                         "kps_flat": kps_flat})
+
+        if self._window_executor is None:
+            import concurrent.futures
+            self._window_executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="lst-window")
+        self._window_futures.append(self._window_executor.submit(run))
+
+    def _window_sync(self):
+        """Wait for queued window dispatches (stream-state order barrier)."""
+        futs, self._window_futures = self._window_futures, []
+        for f in futs:
+            f.result()   # re-raises worker exceptions
 
     def _drain_window(self):
         """Dispatch a buffered partial window frame by frame (per-frame jit:
         a partial scan length would compile a fresh program per depth)."""
+        self._window_sync()
         buf, self._window_buf = self._window_buf, []
         for ri_host, stamp in buf:
             ri = frame_mod.to_device_range_image(ri_host)
@@ -430,6 +457,7 @@ class Slam:
             return
         self._stream_pending = []
         self._window_buf = []
+        self._window_futures = []
         self._stream_enqueued = 0
         seeded = self._maps_populated or self.n_frames > 0
         if seeded:
@@ -490,7 +518,8 @@ class Slam:
     def flush(self) -> list:
         """Synchronize streaming results into the host logs; returns the
         per-frame summary dicts of the flushed frames."""
-        if getattr(self, "_window_buf", None):
+        if getattr(self, "_window_futures", None) or \
+                getattr(self, "_window_buf", None):
             self._drain_window()
         if not getattr(self, "_stream_pending", None):
             return []
