@@ -65,6 +65,34 @@ def _roofline(cfg, device_ms_per_frame, xplane, nprof):
     return out
 
 
+def _tunnel_health():
+    """Measure the host<->device link at bench time and record it in the
+    JSON: the tunnel's upload bandwidth swings between ~1.3 GB/s and
+    ~60 MB/s across minutes (shared infrastructure), and in degraded
+    phases the sweep uploads — not device compute — bound the wall. This
+    stamp lets any captured number be read in context."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    try:
+        big = np.zeros(4 << 20, np.uint8)
+        jax.block_until_ready(jnp.asarray(big))       # warm path
+        t0 = time.perf_counter()
+        for _ in range(4):
+            jax.block_until_ready(jnp.asarray(big))
+        dt = (time.perf_counter() - t0) / 4
+        t0 = time.perf_counter()
+        small = np.zeros(64, np.uint8)
+        for _ in range(10):
+            jax.block_until_ready(jnp.asarray(small))
+        rtt = (time.perf_counter() - t0) / 10
+        return {"tunnel_upload_mbps": round(big.nbytes / dt / 1e6, 0),
+                "tunnel_rtt_ms": round(rtt * 1000, 2)}
+    except Exception:
+        return {}
+
+
 def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
     import jax
     import numpy as np
@@ -224,9 +252,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    tunnel = _tunnel_health()
     if args.rings is not None:
         rec = run_config(args, args.rings, args.azimuth, args.frames,
                          args.warmup, args.profile_frames)
+        rec.update(tunnel)
         record = {"metric": "scans_per_sec", "value": rec.pop("scans_per_sec"),
                   "unit": "scans/s"}
         record["vs_baseline"] = round(record["value"] / 10.0, 3)
@@ -241,6 +271,7 @@ def main():
               "unit": "scans/s"}
     record["vs_baseline"] = round(record["value"] / 10.0, 3)
     record.update(rec16)
+    record.update(tunnel)
     if not args.skip_64beam:
         # KITTI-class secondary config: fewer timed frames (device-bound,
         # ~5x the per-frame work)

@@ -41,27 +41,55 @@ XYZ_QUANT_SCALE = 0.004  # [m] upload quantization step (~sensor noise / 5)
 
 
 class PackedRangeImage(NamedTuple):
-    """Wire-compact sweep for host->device upload (~2x smaller than the f32
-    RangeImage): coordinates quantized to 4 mm int16 (range +-131 m, well
-    below spinning-LiDAR range noise), intensity uint8, times float16.
-    Decompressed on device at pipeline entry — plain dtype converts, which
-    fuse for free (the single-byte-buffer ByteRangeImage variant needs a
-    u8->u16 bit-reassembly that lowers to a shift-left+reduce costing
-    3.8 ms/frame at 64-beam scale, profiled). Used by the windowed
-    streaming path, where W sweeps stack into 4 uploads per window."""
+    """Wire-compact sweep for host->device upload (8.07 B/slot vs the f32
+    RangeImage's 24): coordinates quantized to 4 mm int16 (range +-131 m,
+    well below spinning-LiDAR range noise), intensity uint8, per-point
+    times quantized to uint8 over the sweep's [t_min, t_max] span (0.4 ms
+    step at 10 Hz — rotation 36 deg/s drifts 0.014 deg per step, far under
+    extractor/undistortion sensitivity), and the validity plane replaced by
+    per-ring counts (rows are left-packed by construction of
+    build_range_image). The host<->device link is the measured bottleneck
+    in degraded tunnel phases (bandwidth swings 1.3 GB/s..60 MB/s), so
+    every byte on this wire costs wall time. Decompression on device is
+    plain dtype converts + one iota compare, which fuse for free (the
+    single-byte-buffer ByteRangeImage needs a u8->u16 bit-reassembly that
+    cost 3.8 ms/frame at 64-beam scale, profiled). Used by the windowed
+    streaming path, where W sweeps stack per field."""
 
     xyz_q: jax.Array      # (R, C, 3) int16
     intensity: jax.Array  # (R, C) uint8
-    time: jax.Array       # (R, C) float16
-    valid: jax.Array      # (R, C) bool or uint8
+    t_q: jax.Array        # (R, C) uint8
+    t_min: jax.Array      # () float32
+    t_scale: jax.Array    # () float32
+    counts: jax.Array     # (R,) int32 — valid points per ring, left-packed
 
     def unpack(self) -> "RangeImage":
-        valid = self.valid if self.valid.dtype == jnp.bool_ else self.valid != 0
+        R, C = self.intensity.shape
+        valid = jnp.arange(C, dtype=jnp.int32)[None, :] < self.counts[:, None]
+        time = self.t_min + self.t_q.astype(jnp.float32) * self.t_scale
         return RangeImage(
             xyz=self.xyz_q.astype(jnp.float32) * XYZ_QUANT_SCALE,
             intensity=self.intensity.astype(jnp.float32),
-            time=self.time.astype(jnp.float32),
+            time=jnp.where(valid, time, 0.0),
             valid=valid)
+
+
+def _pack_planes(q, inten8, time_plane, valid8) -> "PackedRangeImage":
+    """Host-side PackedRangeImage assembly from quantized planes."""
+    valid = valid8.astype(bool)
+    if valid.any():
+        vals = np.asarray(time_plane, np.float32)[valid]
+        t_min = float(vals.min())
+        span = float(vals.max()) - t_min
+    else:
+        t_min, span = 0.0, 0.0
+    scale = span / 255.0 if span > 0 else 1.0
+    t_q = np.clip(np.round((np.asarray(time_plane, np.float32) - t_min) / scale),
+                  0, 255).astype(np.uint8)
+    return PackedRangeImage(
+        xyz_q=q, intensity=inten8, t_q=t_q,
+        t_min=np.float32(t_min), t_scale=np.float32(scale),
+        counts=valid.sum(axis=1).astype(np.int32))
 
 
 class ByteRangeImage:
@@ -252,9 +280,9 @@ def build_range_image(
             if out is not None:
                 q, inten8, t16, valid8 = out
                 if not device:
-                    # window path: keep the quantized planes (cheap device
-                    # unpack; the window stacks them into 4 uploads)
-                    return PackedRangeImage(q, inten8, t16, valid8)
+                    # window path: quantized planes (cheap device unpack;
+                    # the window stacks them into per-field uploads)
+                    return _pack_planes(q, inten8, t16, valid8)
                 return pack_range_image_bytes(q, inten8, t16, valid8)
         else:
             out = native_mod.build_range_image_native(
@@ -299,10 +327,10 @@ def build_range_image(
     if packed:
         q = np.clip(np.round(img_xyz / XYZ_QUANT_SCALE), -32767, 32767).astype(np.int16)
         inten8 = np.clip(img_int, 0, 255).astype(np.uint8)
-        t16 = img_time.astype(np.float16)
         if not device:
-            return PackedRangeImage(q, inten8, t16, img_valid.astype(np.uint8))
-        return pack_range_image_bytes(q, inten8, t16,
+            return _pack_planes(q, inten8, img_time,
+                                img_valid.astype(np.uint8))
+        return pack_range_image_bytes(q, inten8, img_time.astype(np.float16),
                                       img_valid.astype(np.uint8))
     up = jnp.asarray if device else (lambda a: a)
     return RangeImage(
