@@ -163,6 +163,35 @@ def process_frame_stream_spmd(ri, state, stamp, az_res, cfg, map_cfgs,
     return fn(ri, state, stamp, az_res, extras)
 
 
+def process_stream_window_spmd(ri_stack, state, stamps, az_res, cfg,
+                               map_cfgs, mesh, shard_maps=False):
+    """SPMD windowed streaming: W chained per-sweep steps in ONE sharded
+    dispatch — `lax.scan` INSIDE the shard_map body, so the per-frame
+    psum/all_gather collectives stay within one program and the host/link
+    overhead amortizes W-fold exactly as on one chip
+    (`pipeline.process_stream_window`)."""
+    import jax
+
+    n = mesh.devices.size
+
+    def body(ri_stack, state, stamps, az_res):
+        def step(st, xs):
+            ri, stamp = xs
+            st2, packed, kps_flat = pipeline.process_frame_stream(
+                ri, st, stamp, az_res, cfg, map_cfgs, False, extras=(),
+                axis_name=AXIS, n_shards=n, shard_maps=shard_maps)
+            return st2, (packed, kps_flat)
+
+        st, (packed, kps_flat) = jax.lax.scan(step, state, (ri_stack, stamps))
+        return st, packed, kps_flat
+
+    state_spec = _stream_state_spec(cfg, shard_maps)
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(), state_spec, P(), P()),
+                   out_specs=(state_spec, P(), P()), check_vma=False)
+    return fn(ri_stack, state, stamps, az_res)
+
+
 def _stream_state_spec(cfg, shard_maps: bool):
     if not shard_maps:
         return P()

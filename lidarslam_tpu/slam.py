@@ -151,6 +151,10 @@ class Slam:
                 sharded_mod.process_keypoints_stream_spmd,
                 static_argnames=statics,
                 donate_argnums=(1,)), mesh=mesh, shard_maps=self.shard_maps)
+            self._process_stream_window = _partial(jax.jit(
+                sharded_mod.process_stream_window_spmd,
+                static_argnames=("cfg", "map_cfgs", "mesh", "shard_maps"),
+                donate_argnums=(1,)), mesh=mesh, shard_maps=self.shard_maps)
         self._extract = jax.jit(extractor_mod.extract_keypoints, static_argnums=(2,))
         self._warp_points = jax.jit(undistortion.warp_points)
         # per-LiDAR-device calibration: BASE <- LIDAR (Slam.h:502-505)
@@ -343,7 +347,7 @@ class Slam:
         first = not self._maps_populated and self._stream_enqueued == 0 \
             and self.n_frames == 0
         extras = self._stream_extras(stamp)
-        window = cfg.stream_window if self.mesh is None else 1
+        window = cfg.stream_window
 
         if window > 1 and not first and not extras:
             # host-built sweep buffers; one stacked upload + dispatch when
@@ -407,6 +411,10 @@ class Slam:
             self._stream_pending.append({"stamps": [s for _, s in buf],
                                          "packed": packed,
                                          "kps_flat": kps_flat})
+            # virtual CPU meshes must not keep several collective-bearing
+            # programs in flight (see _stream_backpressure); blocking per
+            # WINDOW on the worker keeps the main thread fully async
+            self._stream_backpressure(packed)
 
         if self._window_executor is None:
             import concurrent.futures
