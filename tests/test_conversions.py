@@ -194,3 +194,34 @@ def test_advise_extractor_params():
     assert cv.advise_extractor_params("velodyne", cfg) == []
     assert len(cv.advise_extractor_params("ouster", cfg)) == 2
     assert len(cv.advise_extractor_params("hesai", cfg)) == 3
+
+
+def test_autodetect_to_slam_end_to_end():
+    """Vendor-shaped arrays (Ouster naming, ns timestamps) drive the full
+    engine through autodetect_frame."""
+    import jax
+
+    jax.config.update("jax_platform_name", "cpu")
+    from lidarslam_tpu import Slam
+    from lidarslam_tpu.config import ExtractorConfig, MapConfig, SlamConfig
+    from lidarslam_tpu.io import synthetic
+
+    frames = synthetic.generate_sequence(n_frames=4, motion_distortion=False)
+    cfg = SlamConfig(
+        extractor=ExtractorConfig(n_rings=16, max_ring_points=1024,
+                                  max_keypoints=1024),
+        edge_map=MapConfig(leaf_size=0.30, capacity=1 << 15, grid_size=26),
+        plane_map=MapConfig(leaf_size=0.60, capacity=1 << 15, grid_size=26),
+        blob_map=MapConfig(leaf_size=0.30, capacity=1 << 15, grid_size=26))
+    slam = Slam(cfg)
+    for f in frames:
+        # re-encode the synthetic sweep as Ouster-shaped vendor arrays
+        raw_t_ns = (np.asarray(f["time"], np.float64) + f["stamp"]) * 1e9
+        arrays = {"Raw Timestamp": raw_t_ns,
+                  "Signal Photons": f["intensity"],
+                  "Channel": f["laser_id"]}
+        conv = cv.autodetect_frame(f["xyz"], arrays)
+        assert conv["vendor"] == "ouster"
+        r = slam.add_frame(conv)
+        assert not r.get("failure", False)
+    assert r["n_matches"] > 100
