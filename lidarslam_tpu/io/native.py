@@ -37,6 +37,10 @@ def _load():
         lib.lst_build_range_image_packed.restype = i64
         lib.lst_build_range_image_packed.argtypes = [p, p, p, p, i64, i32, i32,
                                                      f32, p, p, p, p]
+        if hasattr(lib, "lst_build_range_image_packed2"):
+            lib.lst_build_range_image_packed2.restype = i64
+            lib.lst_build_range_image_packed2.argtypes = [
+                p, p, p, p, i64, i32, i32, f32, p, p, p, p, p]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -70,6 +74,32 @@ def build_range_image_native(xyz, intensity, laser_id, time, n_rings, max_ring_p
                               len(lid), R, C, _ptr(out_xyz), _ptr(out_int),
                               _ptr(out_time), _ptr(out_valid))
     return out_xyz, out_int, out_time, out_valid
+
+
+def build_range_image_packed2_native(xyz, intensity, laser_id, time, n_rings,
+                                     max_ring_points, scale):
+    """-> (xyz_q (R,C,3) i16, intensity (R,C) u8, t_q (R,C) u8,
+    t_min f32, t_scale f32, counts (R,) i32) — the windowed-streaming wire
+    format, fully assembled in C++ — or None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "lst_build_range_image_packed2"):
+        return None
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    inten = np.ascontiguousarray(intensity, np.float32)
+    lid = np.ascontiguousarray(laser_id, np.int32)
+    t = np.ascontiguousarray(time, np.float32)
+    R, C = n_rings, max_ring_points
+    out_xyz = np.zeros((R, C, 3), np.int16)
+    out_int = np.zeros((R, C), np.uint8)
+    out_tq = np.zeros((R, C), np.uint8)
+    out_counts = np.zeros((R,), np.int32)
+    tmeta = np.zeros((2,), np.float32)
+    lib.lst_build_range_image_packed2(
+        _ptr(xyz), _ptr(inten), _ptr(lid), _ptr(t), len(lid), R, C,
+        1.0 / scale, _ptr(out_xyz), _ptr(out_int), _ptr(out_tq),
+        _ptr(out_counts), _ptr(tmeta))
+    return (out_xyz, out_int, out_tq, np.float32(tmeta[0]),
+            np.float32(tmeta[1]), out_counts)
 
 
 def build_range_image_packed_native(xyz, intensity, laser_id, time, n_rings,

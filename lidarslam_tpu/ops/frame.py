@@ -274,14 +274,22 @@ def build_range_image(
     from lidarslam_tpu.io import native as native_mod
     if native_mod.available():
         if packed:
+            if not device:
+                # window path: the full wire format assembled in C++
+                out2 = native_mod.build_range_image_packed2_native(
+                    xyz, intensity, laser_id, time, n_rings, max_ring_points,
+                    XYZ_QUANT_SCALE)
+                if out2 is not None:
+                    q, inten8, t_q, t_min, t_scale, counts = out2
+                    return PackedRangeImage(xyz_q=q, intensity=inten8,
+                                            t_q=t_q, t_min=t_min,
+                                            t_scale=t_scale, counts=counts)
             out = native_mod.build_range_image_packed_native(
                 xyz, intensity, laser_id, time, n_rings, max_ring_points,
                 XYZ_QUANT_SCALE)
             if out is not None:
                 q, inten8, t16, valid8 = out
                 if not device:
-                    # window path: quantized planes (cheap device unpack;
-                    # the window stacks them into per-field uploads)
                     return _pack_planes(q, inten8, t16, valid8)
                 return pack_range_image_bytes(q, inten8, t16, valid8)
         else:

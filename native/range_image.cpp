@@ -102,4 +102,61 @@ int64_t lst_build_range_image_packed(
     return placed;
 }
 
+// Windowed-streaming wire format (ops/frame.PackedRangeImage): int16
+// coords, uint8 intensity, per-point times quantized to uint8 over the
+// sweep's [t_min, t_max] span, and per-ring valid counts instead of a
+// validity plane (rows are left-packed by this scatter's construction).
+// out_tmeta receives [t_min, t_scale]. Returns the number of points placed.
+int64_t lst_build_range_image_packed2(
+    const float* xyz, const float* intensity, const int32_t* laser_id,
+    const float* time, int64_t n, int32_t n_rings, int32_t max_ring_points,
+    float inv_scale,
+    int16_t* out_xyz_q, uint8_t* out_int, uint8_t* out_tq,
+    int32_t* out_counts, float* out_tmeta) {
+    const int64_t C = max_ring_points;
+    // pass 1: time span over the points that will be placed
+    int32_t* counts = new int32_t[n_rings]();
+    float t_min = 0.f, t_max = 0.f;
+    bool any = false;
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t r = laser_id[i];
+        if (r < 0 || r >= n_rings) continue;
+        if (counts[r]++ >= C) continue;
+        const float t = time[i];
+        if (!any) { t_min = t_max = t; any = true; }
+        else if (t < t_min) t_min = t;
+        else if (t > t_max) t_max = t;
+    }
+    const float span = t_max - t_min;
+    const float t_scale = span > 0.f ? span / 255.0f : 1.0f;
+    const float t_inv = 1.0f / t_scale;
+    out_tmeta[0] = t_min;
+    out_tmeta[1] = t_scale;
+
+    for (int32_t r = 0; r < n_rings; ++r) counts[r] = 0;
+    int64_t placed = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t r = laser_id[i];
+        if (r < 0 || r >= n_rings) continue;
+        const int32_t c = counts[r]++;
+        if (c >= C) continue;
+        const int64_t o = (int64_t)r * C + c;
+        for (int k = 0; k < 3; ++k) {
+            float q = std::nearbyint(xyz[i * 3 + k] * inv_scale);
+            if (q > 32767.f) q = 32767.f;
+            if (q < -32767.f) q = -32767.f;
+            out_xyz_q[o * 3 + k] = (int16_t)q;
+        }
+        float v = intensity[i];
+        out_int[o] = (uint8_t)(v < 0.f ? 0.f : (v > 255.f ? 255.f : v));
+        float tq = std::nearbyint((time[i] - t_min) * t_inv);
+        out_tq[o] = (uint8_t)(tq < 0.f ? 0.f : (tq > 255.f ? 255.f : tq));
+        ++placed;
+    }
+    for (int32_t r = 0; r < n_rings; ++r)
+        out_counts[r] = counts[r] < C ? counts[r] : (int32_t)C;
+    delete[] counts;
+    return placed;
+}
+
 }  // extern "C"

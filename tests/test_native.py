@@ -122,3 +122,41 @@ def test_flatten_keypoints_view_roundtrip():
     np.testing.assert_array_equal(v.valid, np.asarray(kp.valid))
     assert int(v.count) == 42
     assert v.device_nbytes == (7 * K + 1) * 4
+
+
+def test_packed2_wire_format_matches_python():
+    """The C++-assembled windowed wire format (packed2) matches the python
+    _pack_planes fallback bit-for-bit on coords/intensity/counts and to one
+    u8 quantization step on times."""
+    import jax
+    import lidarslam_tpu.io.native as nm
+    from lidarslam_tpu.ops import frame as fm
+
+    if not nm.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(1)
+    n = 20000
+    xyz = rng.normal(0, 10, (n, 3)).astype(np.float32)
+    inten = rng.uniform(0, 300, n).astype(np.float32)
+    lid = rng.integers(0, 16, n).astype(np.int64)
+    t = rng.uniform(-0.1, 0.0, n).astype(np.float32)
+
+    ri_native = fm.build_range_image(xyz, inten, lid, t, 16, 2048,
+                                     packed=True, device=False)
+    assert isinstance(ri_native, fm.PackedRangeImage)
+    orig = nm.build_range_image_packed2_native
+    nm.build_range_image_packed2_native = lambda *a, **k: None
+    try:
+        ri_py = fm.build_range_image(xyz, inten, lid, t, 16, 2048,
+                                     packed=True, device=False)
+    finally:
+        nm.build_range_image_packed2_native = orig
+
+    u1 = jax.device_get(ri_native.unpack())
+    u2 = jax.device_get(ri_py.unpack())
+    np.testing.assert_array_equal(np.asarray(u1.valid), np.asarray(u2.valid))
+    np.testing.assert_array_equal(np.asarray(u1.xyz), np.asarray(u2.xyz))
+    np.testing.assert_array_equal(np.asarray(u1.intensity),
+                                  np.asarray(u2.intensity))
+    d = np.abs(np.asarray(u1.time) - np.asarray(u2.time)).max()
+    assert d < 1e-3, d  # <= one u8 time-quantization step
