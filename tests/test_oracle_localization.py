@@ -159,3 +159,48 @@ def test_lm_solver_matches_oracle():
     pose_j = np.asarray(rj.pose, np.float64)
     assert np.abs(pose_j - pose_o).max() < 2e-4, (pose_j, pose_o)
     np.testing.assert_allclose(pose_o, true_pose, atol=5e-3)
+
+
+def test_per_ring_edge_filter_matches_oracle():
+    """Ego-motion edge matching (single_edge_per_ring): one neighbor per
+    ring, closest point's ring excluded, rings beyond +-4 excluded
+    (GetPerRingLineNeighbors 349-405 semantics)."""
+    rng = np.random.default_rng(5)
+    # a previous sweep: each of 16 rings samples each of 6 poles ONCE
+    # (spinning-LiDAR geometry — ego-motion matches prev-sweep keypoints)
+    poles_xy = rng.uniform(-6, 6, (6, 2))
+    pts, rings = [], []
+    for px, py in poles_xy:
+        for r in range(16):
+            pts.append([px + rng.normal(0, 0.005),
+                        py + rng.normal(0, 0.005), 0.4 * r])
+            rings.append(r)
+    pole = np.asarray(pts, np.float64)
+    rings = np.asarray(rings, np.int32)
+    kp = pole[rng.integers(0, len(pole), 64)] + rng.normal(0, 0.01, (64, 3))
+    pose = np.array([0.02, -0.01, 0.015, 0.004, -0.003, 0.006])
+    params = dataclasses_replace_ego()
+
+    view = SubmapView(xyz=jnp.asarray(pole, jnp.float32),
+                      ring=jnp.asarray(rings),
+                      valid=jnp.ones(len(pole), bool))
+    mj = matcher.match_edges(jnp.asarray(kp, jnp.float32),
+                             jnp.ones(len(kp), bool), view,
+                             jnp.asarray(pose, jnp.float32), params, None)
+    mo = oracle.match_edges_oracle(kp, np.ones(len(kp), bool), pole, pose,
+                                   params, rings=rings)
+    st_j = np.asarray(mj.status)
+    st_o = np.array([int(m["status"]) for m in mo])
+    agree = (st_j == st_o).mean()
+    assert agree > 0.9, (agree, st_j, st_o)
+    both = (st_j == int(MatchStatus.SUCCESS)) & (st_o == int(MatchStatus.SUCCESS))
+    assert both.sum() >= 20
+    P_j = np.asarray(mj.P)[both]
+    P_o = np.stack([m["P"] for m, b in zip(mo, both) if b])
+    np.testing.assert_allclose(P_j, P_o, atol=3e-3)
+
+
+def dataclasses_replace_ego():
+    import dataclasses
+    from lidarslam_tpu.config import SlamConfig
+    return SlamConfig().ego_matching

@@ -125,3 +125,23 @@ def test_log_keypoints_feed_pgo_after_streaming(frames):
     assert total > 0
     mem = slam.get_log_memory_usage()
     assert mem["device"] > 0
+
+
+def test_window_worker_exception_propagates():
+    """A failure on the window worker thread must surface to the caller at
+    the next sync point, not vanish."""
+    import pytest as _pytest
+
+    from lidarslam_tpu.io import synthetic as _syn
+
+    frames = _syn.generate_sequence(n_frames=10, motion_distortion=False)
+    slam = Slam(_cfg())
+    slam.add_frame_async(frames[0])
+    # poison the window jit
+    def boom(*a, **k):
+        raise RuntimeError("injected worker failure")
+    slam._process_stream_window = boom
+    for f in frames[1:9]:
+        slam.add_frame_async(f)     # fills and dispatches one window
+    with _pytest.raises(RuntimeError, match="injected worker failure"):
+        slam.flush()
