@@ -135,7 +135,7 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
         for i in range(half, warmup):
             slam.add_frame_async(frames[i])
         rs = slam.flush()
-        if args.verbose:
+        if args.verbose and rs:
             print(f"# [{rings}r] warmup x{warmup}: "
                   f"{(time.perf_counter()-t0)*1000:.0f} ms "
                   f"matches={rs[-1].get('n_matches')}", file=sys.stderr)

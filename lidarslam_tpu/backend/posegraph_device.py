@@ -270,6 +270,12 @@ def optimize_pose_graph_device(
     partitioning — the distributed pose graph). Returns
     (optimized_poses list[(4,4)], final_cost).
     """
+    if mesh is not None and mesh.devices.flat[0].platform != "cpu":
+        # the f64 solve is pinned to the CPU backend below; sharding
+        # constraints over a non-CPU mesh would either force f64 LU onto
+        # an accelerator (no lowering) or conflict with the pin — run the
+        # Schur split unsharded instead
+        mesh = None
     if mesh is not None and n_segments < 2:
         n_segments = 4 * mesh.devices.size
     N = len(slam_poses)

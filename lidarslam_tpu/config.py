@@ -213,7 +213,11 @@ class SlamConfig:
     # dominates when the device sits behind a high-latency tunnel. 1 =
     # dispatch every sweep immediately (adds no latency). Frames carrying
     # external-sensor constraints and partial windows at flush() fall back
-    # to the per-sweep dispatch, so results are identical for any value.
+    # to the per-sweep dispatch. Results are bitwise-identical across
+    # window settings at the default UndistortionMode.NONE; under
+    # ONCE/REFINED the windowed wire quantizes per-point times to u8 over
+    # the sweep span (0.4 ms steps at 10 Hz — measured 0.3 mm pose shift),
+    # while the per-sweep path keeps f16 times.
     stream_window: int = 8
 
     # general

@@ -33,14 +33,21 @@ class FrameAssembler:
     def __init__(self, main_device: int = 0, max_stamp_diff: float = 0.05,
                  time_offsets: Optional[Dict[int, float]] = None,
                  calibration_provider: Optional[Callable[[int], np.ndarray]] = None,
-                 max_buffer: int = 10, expected_devices=()):
+                 max_buffer: int = 10, expected_devices=(),
+                 reorder_margin: Optional[float] = None):
         """`time_offsets[dev]` is ADDED to that device's stamps (clock skew
         correction); `calibration_provider(dev) -> (4,4)` is polled at each
         emission; `max_buffer` bounds the per-device queue. Devices are
         learned from the stream; pre-declare the rig with
-        `expected_devices` so even the first trigger holds for them."""
+        `expected_devices` so even the first trigger holds for them.
+        `reorder_margin` [s] (default = max_stamp_diff): how far past the
+        match window a device's newest arrival must be before a held
+        trigger gives up on that device — tolerance for messages
+        reordering WITHIN one device's stream."""
         self.main_device = int(main_device)
         self.max_stamp_diff = float(max_stamp_diff)
+        self.reorder_margin = float(max_stamp_diff if reorder_margin is None
+                                    else reorder_margin)
         self.time_offsets = dict(time_offsets or {})
         self.calibration_provider = calibration_provider
         self.max_buffer = int(max_buffer)
@@ -88,14 +95,16 @@ class FrameAssembler:
         return best if diffs[best] <= self.max_stamp_diff else None
 
     def _complete(self, trigger: dict) -> bool:
-        """True when every known device either has a match or provably never
-        will (a sweep NEWER than the tolerance window already arrived)."""
+        """True when every known device either has a match or almost surely
+        never will: a sweep newer than the match window PLUS the reorder
+        margin arrived — so even a sweep delayed behind its successor
+        (intra-device reordering) still gets its chance to pair."""
         t_main = self._stamp(trigger)
+        horizon = t_main + self.max_stamp_diff + self.reorder_margin
         for q in self._buffers.values():
             if self._match(q, t_main) is not None:
                 continue
-            newer = any(self._stamp(f) > t_main + self.max_stamp_diff for f in q)
-            if not newer:
+            if not any(self._stamp(f) > horizon for f in q):
                 return False   # the matching sweep may still arrive: hold
         return True
 

@@ -141,7 +141,11 @@ def autodetect_frame(xyz, arrays, calibration=None, device_id=0, seq=None):
             else calibration
         if angles is not None:
             mapping = laser_id_mapping(angles)
-            lid = mapping[np.clip(lid, 0, len(mapping) - 1)]
+            # ids outside the calibration table are corrupt: drop those
+            # points rather than silently folding them into an edge ring
+            ok = (lid >= 0) & (lid < len(mapping))
+            xyz, raw_t, inten, lid = xyz[ok], raw_t[ok], inten[ok], lid[ok]
+            lid = mapping[lid]
 
     frame_end = float(raw_t.max()) if len(raw_t) else 0.0
     out = {"xyz": xyz.astype(np.float32), "intensity": inten,

@@ -359,7 +359,9 @@ def stack_range_images(ris):
     stack with an on-device concat (fallback)."""
     r0 = ris[0]
     def stack(leaves):
-        if isinstance(leaves[0], np.ndarray):
+        # np.generic covers scalar fields (t_min/t_scale): they must stack
+        # host-side too, or each scalar becomes its own device transfer
+        if isinstance(leaves[0], (np.ndarray, np.generic)):
             return jnp.asarray(np.stack(leaves))
         return jnp.stack(leaves)
     if isinstance(r0, ByteRangeImage):

@@ -567,9 +567,11 @@ def process_stream_window(ri_stack, state: StreamState, stamps, az_res,
     term when the chip sits behind a high-latency tunnel (measured ~4.5 ms
     host gap per frame at VLP-16 scale with per-frame dispatch) — W-fold:
     one upload, one dispatch, one set of output references per W sweeps.
-    The scan body is the exact per-frame step, so results are bitwise
-    identical to W per-frame dispatches. First frames / frames carrying
-    sensor-constraint extras use the per-frame path (static structure).
+    The scan body is the exact per-frame step: results are bitwise
+    identical to W per-frame dispatches at UndistortionMode.NONE (under
+    ONCE/REFINED the windowed wire's u8 time quantization shifts poses by
+    ~0.3 mm — see SlamConfig.stream_window). First frames / frames
+    carrying sensor-constraint extras use the per-frame path.
 
     Returns (state', packed (W, 64), kps_flat — per type (W, 7K+1))."""
     def body(st, xs):

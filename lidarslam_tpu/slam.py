@@ -349,7 +349,12 @@ class Slam:
         extras = self._stream_extras(stamp)
         window = cfg.stream_window
 
-        if window > 1 and not first and not extras:
+        # the per-frame path below estimates azimuthal resolution; until a
+        # valid estimate exists (e.g. first streaming frame against
+        # PRELOADED maps, where `first` is False) windows must not start
+        az_invalid = (self.azimuthal_resolution <= 1e-6
+                      or self.azimuthal_resolution > np.pi / 4)
+        if window > 1 and not first and not extras and not az_invalid:
             # host-built sweep buffers; one stacked upload + dispatch when
             # the window fills. (A/B-measured against per-frame device
             # uploads with an on-device stack: the eager per-frame
@@ -590,7 +595,6 @@ class Slam:
                              "comply_motion_limits": self.comply_motion_limits})
                 self._emit_output(stamp, outs[-1], u["is_kf"],
                                   self.current_keypoints)
-        self.maps = {k: self._stream_state.maps[int(k)] for k in cfg.used_types}
         # the last frame's structured keypoints live in the stream state;
         # safe to hand out — the segment ends here so they are never donated
         # (a future segment re-seeds from scratch, sync _process donates

