@@ -153,6 +153,49 @@ def _shard_slice(arr, axis_name, n_shards):
     return jax.lax.dynamic_slice_in_dim(arr, start, chunk, axis=0)
 
 
+def extract_sharded(ri: RangeImage, az_res, cfg: SlamConfig, axis_name,
+                    n_shards: int):
+    """Ring-sharded keypoint extraction: every extraction stage is
+    per-ring independent (masked stencils along the firing axis, per-ring
+    NMS — SURVEY §2.2 P1-P4), so each device extracts its contiguous
+    R/n-ring slice of the (replicated) range image with a K/n keypoint
+    budget, and the per-type sets all_gather + compact back to the full
+    capacity. This removes the replicated-extraction term from the SPMD
+    Amdahl ceiling (docs/PARALLELISM.md 'level 3'). Per-shard K/n budgets
+    change WHICH keypoints survive only at capacity saturation (the
+    even-spread compaction then runs per slice instead of globally)."""
+    import dataclasses
+
+    ecfg = cfg.extractor
+    R, K = ecfg.n_rings, ecfg.max_keypoints
+    if R % n_shards or K % n_shards:
+        raise ValueError(
+            f"shard_extraction needs n_rings ({R}) and max_keypoints ({K}) "
+            f"divisible by the mesh size ({n_shards})")
+    rows = R // n_shards
+    start = jax.lax.axis_index(axis_name) * rows
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, start, rows, axis=0)
+
+    ri_s = RangeImage(xyz=sl(ri.xyz), intensity=sl(ri.intensity),
+                      time=sl(ri.time), valid=sl(ri.valid))
+    ecfg_s = dataclasses.replace(ecfg, n_rings=rows,
+                                 max_keypoints=K // n_shards)
+    ext = extractor.extract_keypoints(ri_s, az_res, ecfg_s)
+    out = []
+    for kp in (ext.edges, ext.planes, ext.blobs):
+        kp = kp._replace(ring=jnp.where(kp.valid, kp.ring + start, kp.ring))
+        g = jax.tree.map(lambda a: jax.lax.all_gather(a, axis_name), kp)
+        flat = Keypoints(
+            xyz=g.xyz.reshape(K, 3), intensity=g.intensity.reshape(K),
+            time=g.time.reshape(K), ring=g.ring.reshape(K),
+            valid=g.valid.reshape(K), count=jnp.sum(g.count))
+        # compact valid-first so downstream capacity slices stay dense
+        out.append(frame_mod.merge_keypoints([flat], K))
+    return tuple(out)
+
+
 def process_frame(
     ri: RangeImage,
     maps: tuple,               # VoxelMap per type (None when unused) — donated
@@ -164,6 +207,7 @@ def process_frame(
     axis_name=None,
     n_shards: int = 1,
     shard_maps: bool = False,
+    shard_extraction: bool = False,
 ) -> FrameResult:
     """Full per-sweep step. `cfg`, `map_cfgs`, `first_frame` are static.
 
@@ -171,10 +215,14 @@ def process_frame(
     the matcher+solver — the per-frame hot path — runs on this device's
     keypoint shard only and the 6x6 normal equations are psum-reduced over
     ICI each LM evaluation, so every chip steps an identical pose
-    (parallel/sharded.py)."""
+    (parallel/sharded.py). `shard_extraction` additionally splits the
+    extractor over rings (see extract_sharded)."""
     ri = ensure_range_image(ri)
-    ext = extractor.extract_keypoints(ri, inp.az_resolution, cfg.extractor)
-    kps = (ext.edges, ext.planes, ext.blobs)
+    if shard_extraction and axis_name is not None:
+        kps = extract_sharded(ri, inp.az_resolution, cfg, axis_name, n_shards)
+    else:
+        ext = extractor.extract_keypoints(ri, inp.az_resolution, cfg.extractor)
+        kps = (ext.edges, ext.planes, ext.blobs)
     return process_keypoints(kps, ri, maps, prev_keypoints, inp, cfg, map_cfgs,
                              first_frame, axis_name=axis_name, n_shards=n_shards,
                              shard_maps=shard_maps)
@@ -485,15 +533,19 @@ class StreamState(NamedTuple):
 def process_frame_stream(ri: RangeImage, state: StreamState, stamp, az_res,
                          cfg: SlamConfig, map_cfgs: tuple, first_frame: bool,
                          extras=(), axis_name=None, n_shards: int = 1,
-                         shard_maps: bool = False):
+                         shard_maps: bool = False,
+                         shard_extraction: bool = False):
     """One chained streaming step: returns (state', packed_out (64,),
     kps_flat — one (7K+1,) log buffer per type, frame.flatten_keypoints).
 
     packed_out = FrameResult.packed (61) + origin_vox after this frame (3);
     poses in it are relative to the origin *before* this frame's roll."""
     ri = ensure_range_image(ri)
-    ext = extractor.extract_keypoints(ri, az_res, cfg.extractor)
-    kps = (ext.edges, ext.planes, ext.blobs)
+    if shard_extraction and axis_name is not None:
+        kps = extract_sharded(ri, az_res, cfg, axis_name, n_shards)
+    else:
+        ext = extractor.extract_keypoints(ri, az_res, cfg.extractor)
+        kps = (ext.edges, ext.planes, ext.blobs)
     return _stream_step(kps, ri, state, stamp, az_res, cfg, map_cfgs,
                         first_frame, extras, axis_name, n_shards, shard_maps)
 

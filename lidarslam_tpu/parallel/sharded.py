@@ -117,13 +117,13 @@ def _result_spec(cfg, shard_maps: bool):
 
 
 def process_frame_spmd(ri, maps, prev_kp, inp, cfg, map_cfgs, first_frame,
-                       mesh, shard_maps=False):
+                       mesh, shard_maps=False, shard_extraction=False):
     """SPMD `pipeline.process_frame`. `cfg`/`map_cfgs`/`first_frame`/`mesh`/
-    `shard_maps` must be static under jit."""
+    `shard_maps`/`shard_extraction` must be static under jit."""
     n = mesh.devices.size
     body = partial(pipeline.process_frame, cfg=cfg, map_cfgs=map_cfgs,
                    first_frame=first_frame, axis_name=AXIS, n_shards=n,
-                   shard_maps=shard_maps)
+                   shard_maps=shard_maps, shard_extraction=shard_extraction)
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P(), _maps_spec(cfg, shard_maps), P(), P()),
                    out_specs=_result_spec(cfg, shard_maps), check_vma=False)
@@ -144,7 +144,8 @@ def process_keypoints_spmd(kps, ri, maps, prev_kp, inp, cfg, map_cfgs,
 
 
 def process_frame_stream_spmd(ri, state, stamp, az_res, cfg, map_cfgs,
-                              first_frame, extras, mesh, shard_maps=False):
+                              first_frame, extras, mesh, shard_maps=False,
+                              shard_extraction=False):
     """SPMD streaming step: the chained device state (previous keypoints,
     poses — and the maps, replicated or slab-sharded per `shard_maps`)
     advances in lock-step on every chip; per-frame communication is the
@@ -155,7 +156,8 @@ def process_frame_stream_spmd(ri, state, stamp, az_res, cfg, map_cfgs,
     def body(ri, state, stamp, az_res, extras):
         return pipeline.process_frame_stream(
             ri, state, stamp, az_res, cfg, map_cfgs, first_frame,
-            extras=extras, axis_name=AXIS, n_shards=n, shard_maps=shard_maps)
+            extras=extras, axis_name=AXIS, n_shards=n, shard_maps=shard_maps,
+            shard_extraction=shard_extraction)
 
     state_spec = _stream_state_spec(cfg, shard_maps)
     fn = shard_map(body, mesh=mesh, in_specs=(P(), state_spec, P(), P(), P()),
@@ -164,7 +166,8 @@ def process_frame_stream_spmd(ri, state, stamp, az_res, cfg, map_cfgs,
 
 
 def process_stream_window_spmd(ri_stack, state, stamps, az_res, cfg,
-                               map_cfgs, mesh, shard_maps=False):
+                               map_cfgs, mesh, shard_maps=False,
+                               shard_extraction=False):
     """SPMD windowed streaming: W chained per-sweep steps in ONE sharded
     dispatch — `lax.scan` INSIDE the shard_map body, so the per-frame
     psum/all_gather collectives stay within one program and the host/link
@@ -179,7 +182,8 @@ def process_stream_window_spmd(ri_stack, state, stamps, az_res, cfg,
             ri, stamp = xs
             st2, packed, kps_flat = pipeline.process_frame_stream(
                 ri, st, stamp, az_res, cfg, map_cfgs, False, extras=(),
-                axis_name=AXIS, n_shards=n, shard_maps=shard_maps)
+                axis_name=AXIS, n_shards=n, shard_maps=shard_maps,
+                shard_extraction=shard_extraction)
             return st2, (packed, kps_flat)
 
         st, (packed, kps_flat) = jax.lax.scan(step, state, (ri_stack, stamps))

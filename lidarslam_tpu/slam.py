@@ -57,11 +57,12 @@ class Slam:
     """The public SLAM engine API (Slam.h:110-394 capability surface)."""
 
     def __init__(self, config: Optional[SlamConfig] = None, mesh=None,
-                 shard_maps: bool = False):
+                 shard_maps: bool = False, shard_extraction: bool = False):
         self.cfg = config or SlamConfig()
-        if shard_maps and mesh is None:
-            raise ValueError("shard_maps requires a mesh")
+        if (shard_maps or shard_extraction) and mesh is None:
+            raise ValueError("shard_maps/shard_extraction require a mesh")
         self.shard_maps = bool(shard_maps)
+        self.shard_extraction = bool(shard_extraction)
         if self.cfg.two_d_mode and not self.cfg.solver.two_d_mode:
             # SlamConfig.two_d_mode is the user-facing 2D flag (Slam.h); the
             # LM solver reads SolverConfig.two_d_mode — keep them wired
@@ -137,24 +138,38 @@ class Slam:
                         raise ValueError(
                             f"map capacity ({self.map_cfgs[k].capacity}) must "
                             f"be divisible by the mesh size ({n})")
-            statics = ("cfg", "map_cfgs", "first_frame", "mesh", "shard_maps")
+            statics = ("cfg", "map_cfgs", "first_frame", "mesh",
+                       "shard_maps", "shard_extraction")
+            if self.shard_extraction:
+                n_ = mesh.devices.size
+                if cfg.extractor.n_rings % n_:
+                    raise ValueError(
+                        f"extractor.n_rings ({cfg.extractor.n_rings}) must "
+                        f"be divisible by the mesh size ({n_}) with "
+                        "shard_extraction")
             self._process = _partial(jax.jit(
                 sharded_mod.process_frame_spmd, static_argnames=statics,
-                donate_argnums=(1,)), mesh=mesh, shard_maps=self.shard_maps)
+                donate_argnums=(1,)), mesh=mesh, shard_maps=self.shard_maps,
+                shard_extraction=self.shard_extraction)
+            kp_statics = ("cfg", "map_cfgs", "first_frame", "mesh",
+                          "shard_maps")
             self._process_kp = _partial(jax.jit(
-                sharded_mod.process_keypoints_spmd, static_argnames=statics,
+                sharded_mod.process_keypoints_spmd, static_argnames=kp_statics,
                 donate_argnums=(2,)), mesh=mesh, shard_maps=self.shard_maps)
             self._process_stream = _partial(jax.jit(
                 sharded_mod.process_frame_stream_spmd, static_argnames=statics,
-                donate_argnums=(1,)), mesh=mesh, shard_maps=self.shard_maps)
+                donate_argnums=(1,)), mesh=mesh, shard_maps=self.shard_maps,
+                shard_extraction=self.shard_extraction)
             self._process_kp_stream = _partial(jax.jit(
                 sharded_mod.process_keypoints_stream_spmd,
-                static_argnames=statics,
+                static_argnames=kp_statics,
                 donate_argnums=(1,)), mesh=mesh, shard_maps=self.shard_maps)
             self._process_stream_window = _partial(jax.jit(
                 sharded_mod.process_stream_window_spmd,
-                static_argnames=("cfg", "map_cfgs", "mesh", "shard_maps"),
-                donate_argnums=(1,)), mesh=mesh, shard_maps=self.shard_maps)
+                static_argnames=("cfg", "map_cfgs", "mesh", "shard_maps",
+                                 "shard_extraction"),
+                donate_argnums=(1,)), mesh=mesh, shard_maps=self.shard_maps,
+                shard_extraction=self.shard_extraction)
         self._extract = jax.jit(extractor_mod.extract_keypoints, static_argnums=(2,))
         self._warp_points = jax.jit(undistortion.warp_points)
         # per-LiDAR-device calibration: BASE <- LIDAR (Slam.h:502-505)

@@ -148,3 +148,32 @@ def test_sharded_streaming_matches_sync():
     for i, (a, o) in enumerate(zip(sync_poses, outs)):
         dt = np.linalg.norm(a[:3, 3] - o["pose"][:3, 3])
         assert dt < 1e-3, f"frame {i}: stream-vs-sync diff {dt}"
+
+
+def test_shard_extraction_matches_single_device():
+    """Ring-sharded extraction (shard_extraction=True): every extraction
+    stage is per-ring independent, so the sharded extractor must reproduce
+    the single-device trajectory on an unsaturated scene (keypoint sets
+    identical up to compaction order)."""
+    frames = synthetic.generate_sequence(n_frames=6, motion_distortion=False)
+    cfg = _small_cfg()
+    ref = Slam(cfg)
+    for f in frames:
+        rr = ref.add_frame(f)
+
+    mesh = sharded.make_mesh(8)
+    sx = Slam(cfg, mesh=mesh, shard_extraction=True)
+    for f in frames:
+        rs = sx.add_frame(f)
+    dt = np.linalg.norm(rs["pose"][:3, 3] - rr["pose"][:3, 3])
+    assert dt < 1e-3, dt
+    assert abs(rs["n_matches"] - rr["n_matches"]) <= max(
+        10, 0.02 * rr["n_matches"])
+
+    # streaming + windowed path too
+    st = Slam(cfg, mesh=mesh, shard_extraction=True)
+    for f in frames:
+        st.add_frame_async(f)
+    outs = st.flush()
+    d2 = np.linalg.norm(outs[-1]["pose"][:3, 3] - rr["pose"][:3, 3])
+    assert d2 < 1e-3, d2
