@@ -17,8 +17,11 @@ from __future__ import annotations
 
 import numpy as np
 
-# RoboSense RS16 vertical-angle reorder (RobosenseToLidarNode laser remap role)
-RS16_RING_REMAP = np.array([0, 2, 4, 6, 8, 10, 12, 14, 15, 13, 11, 9, 7, 5, 3, 1])
+# RoboSense RS16 laser-id -> bottom-up ring remap, the exact table the
+# reference ships (RobosenseToLidarNode.cxx:32): lasers 0-7 fire the lower
+# bank bottom-up (-15..-1 deg), lasers 8-15 the upper bank top-down
+# (+15..+1 deg).
+RS16_RING_REMAP = np.array([0, 1, 2, 3, 4, 5, 6, 7, 15, 14, 13, 12, 11, 10, 9, 8])
 
 
 def estimate_frame_advancement(xyz):
@@ -56,9 +59,16 @@ def velodyne_to_frame(xyz, intensity, ring, stamp, time=None, sweep_duration=0.1
 
 
 def robosense_to_frame(xyz, intensity, ring, stamp, sweep_duration=0.1,
-                       ring_remap=RS16_RING_REMAP, device_id=0, seq=None):
+                       ring_remap=None, vertical_angles=None, device_id=0,
+                       seq=None):
     """RoboSense-style cloud -> engine frame: drop NaNs and dual-return
-    duplicates, remap rings bottom-up, synthesize times."""
+    duplicates, remap rings bottom-up, synthesize times.
+
+    Remap resolution mirrors RobosenseToLidarNode.cxx:104-109: an explicit
+    `ring_remap` wins; else the RS16 table applies iff the cloud has 16
+    lasers; else identity. `vertical_angles` (per-laser, firing order)
+    derives the remap data-driven for other models (RS32/RSBPEARL — the
+    reference leaves these as a TODO, RobosenseToLidarNode.cxx:31)."""
     xyz = np.asarray(xyz, np.float64)
     intensity = np.asarray(intensity, np.float32)
     ring = np.asarray(ring, np.int64)
@@ -69,11 +79,47 @@ def robosense_to_frame(xyz, intensity, ring, stamp, sweep_duration=0.1,
         same = np.all(np.abs(np.diff(xyz, axis=0)) < 1e-9, axis=1)
         keep = np.concatenate([[True], ~same])
         xyz, intensity, ring = xyz[keep], intensity[keep], ring[keep]
-    ring = np.asarray(ring_remap)[np.clip(ring, 0, len(ring_remap) - 1)]
+    n_lasers = int(ring.max()) + 1 if len(ring) else 0
+    if ring_remap is None and vertical_angles is not None:
+        ring_remap = laser_id_mapping(vertical_angles)
+    if ring_remap is None and n_lasers == 16:
+        ring_remap = RS16_RING_REMAP
+    if ring_remap is not None:
+        ring = np.asarray(ring_remap)[np.clip(ring, 0, len(ring_remap) - 1)]
     time = estimate_frame_advancement(xyz) * sweep_duration
     out = {"xyz": xyz.astype(np.float32), "intensity": intensity,
            "laser_id": ring, "time": time.astype(np.float32),
            "stamp": float(stamp), "device_id": device_id}
+    if seq is not None:
+        out["seq"] = int(seq)
+    return out
+
+
+def leishen_to_frame(xyz, intensity, ring, stamp, time=None,
+                     sweep_duration=0.1, vertical_angles=None, device_id=0,
+                     seq=None):
+    """Leishen (LSC32) cloud -> engine frame (validated-sensor parity,
+    reference README.md:42 — the reference ships no Leishen conversion
+    node, so this follows its Velodyne node semantics): NaN filter,
+    per-point time from the cloud or synthesized from azimuth advancement,
+    optional bottom-up ring remap from the sensor's firing-order vertical
+    angles (the LSC32 interleaves its two banks, so the raw ring field is
+    not height-ordered)."""
+    xyz = np.asarray(xyz, np.float32)
+    finite = np.isfinite(xyz).all(axis=1)
+    xyz = xyz[finite]
+    intensity = np.asarray(intensity, np.float32)[finite]
+    ring = np.asarray(ring, np.int64)[finite]
+    if vertical_angles is not None:
+        mapping = laser_id_mapping(vertical_angles)
+        ring = mapping[np.clip(ring, 0, len(mapping) - 1)]
+    if time is None:
+        time = estimate_frame_advancement(xyz) * sweep_duration
+    else:
+        time = np.asarray(time, np.float64)[finite]
+    out = {"xyz": xyz, "intensity": intensity, "laser_id": ring,
+           "time": time.astype(np.float32), "stamp": float(stamp),
+           "device_id": device_id}
     if seq is not None:
         out["seq"] = int(seq)
     return out

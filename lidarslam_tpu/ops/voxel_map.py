@@ -245,16 +245,37 @@ def add_points(
     out_fix = jnp.where(touched, jnp.int32(fixed), sfix)
     out_cnt = jnp.where(touched, old_cnt + 1, scnt)
 
-    # --- compact winners into the first M slots (stable sort keeps key
-    # order, so drops beyond M are always the largest leaf keys — one
-    # spatial edge of the window); count them so long runs can see the
-    # map silently thinning (keypoint-capacity warning analog, slam.py)
-    loser = (~winner).astype(jnp.int32)
-    _, cx, cy, cz, cint, ctim, ccnt, cfix = jax.lax.sort(
-        (loser, out_x, out_y, out_z, sint, out_time, out_cnt, out_fix),
-        num_keys=1, is_stable=True)
+    # --- compact winners into the first M slots. At capacity, evict the
+    # winners FARTHEST from the window center (never fixed points) instead
+    # of the largest leaf keys — key-order drops would permanently blind one
+    # spatial edge of the window (RollingGrid keeps everything in-window,
+    # RollingGrid.cxx:160-318; eviction only exists because capacity is
+    # fixed, so it must stay isotropic around the trajectory). The stable
+    # 1-key compaction sort preserves the merge sort's (kx, kyz) order among
+    # kept winners, which the Pallas k-NN's block AABB pruning relies on.
     n_winners = jnp.sum(winner, dtype=jnp.int32)
-    slot_ok = jnp.arange(M, dtype=jnp.int32) < n_winners
+
+    def _evict_mask(_):
+        # rank winners by distance from the window center (origin-relative
+        # coords, so the center is 0); fixed points rank first (never evicted)
+        d2 = out_x * out_x + out_y * out_y + out_z * out_z
+        prio = jnp.where(out_fix == 1, -jnp.inf, d2)
+        prio = jnp.where(winner, prio, jnp.inf)
+        idx = jnp.arange(N, dtype=jnp.int32)
+        _, swin, sidx = jax.lax.sort(
+            (prio, winner.astype(jnp.int32), idx), num_keys=1, is_stable=True)
+        over = (jnp.arange(N) >= M) & (swin == 1)
+        _, ev = jax.lax.sort((sidx, over.astype(jnp.int32)), num_keys=1)
+        return ev == 1
+
+    evict = jax.lax.cond(n_winners > M, _evict_mask,
+                         lambda _: jnp.zeros((N,), bool), operand=None)
+    drop = ((~winner) | evict).astype(jnp.int32)
+    _, cx, cy, cz, cint, ctim, ccnt, cfix = jax.lax.sort(
+        (drop, out_x, out_y, out_z, sint, out_time, out_cnt, out_fix),
+        num_keys=1, is_stable=True)
+    n_keep = jnp.minimum(n_winners, M)
+    slot_ok = jnp.arange(M, dtype=jnp.int32) < n_keep
     dropped = jnp.maximum(n_winners - M, 0)
     return VoxelMap(
         xyz=jnp.stack([cx[:M], cy[:M], cz[:M]], axis=-1),
@@ -439,6 +460,8 @@ def gather_valid_points(vmap_: VoxelMap, clean: bool, cfg: MapConfig):
     Returns numpy (n, 3) xyz plus (intensity, time, fixed) arrays."""
     valid = np.asarray(vmap_.valid)
     if clean and cfg.min_frames_per_voxel > 1:
-        valid = valid & (np.asarray(vmap_.count) > cfg.min_frames_per_voxel)
+        # same boundary as extract_submap_view (>=, fixed always clean)
+        valid = valid & ((np.asarray(vmap_.count) >= cfg.min_frames_per_voxel)
+                         | np.asarray(vmap_.fixed))
     return (np.asarray(vmap_.xyz)[valid], np.asarray(vmap_.intensity)[valid],
             np.asarray(vmap_.time)[valid], np.asarray(vmap_.fixed)[valid])

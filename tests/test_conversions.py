@@ -49,6 +49,49 @@ def test_robosense_dedup_and_remap():
     assert f["laser_id"].max() < 16
 
 
+def test_robosense_rs16_table_matches_reference():
+    """The RS16 laser remap must be byte-identical to the reference's
+    LASER_ID_MAPPING_RS16 (RobosenseToLidarNode.cxx:32)."""
+    np.testing.assert_array_equal(
+        cv.RS16_RING_REMAP,
+        [0, 1, 2, 3, 4, 5, 6, 7, 15, 14, 13, 12, 11, 10, 9, 8])
+    # round-trip: every ring appears exactly once
+    assert sorted(cv.RS16_RING_REMAP.tolist()) == list(range(16))
+
+
+def test_robosense_remap_gated_on_16_rings():
+    """Non-16-laser RoboSense clouds pass rings through unchanged
+    (RobosenseToLidarNode.cxx:104-109: RS16 table iff nLasers == 16)."""
+    pts, rings = _spin_cloud(n=128, rings=32)
+    f = cv.robosense_to_frame(pts, np.zeros(len(pts)), rings, stamp=0.0)
+    np.testing.assert_array_equal(f["laser_id"], rings)
+    # explicit vertical angles derive the remap for RS32-class sensors
+    angles = np.concatenate([np.arange(16), -1.0 - np.arange(16)])  # interleaved banks
+    f2 = cv.robosense_to_frame(pts, np.zeros(len(pts)), rings, stamp=0.0,
+                               vertical_angles=angles)
+    expect = cv.laser_id_mapping(angles)[rings]
+    np.testing.assert_array_equal(f2["laser_id"], expect)
+
+
+def test_leishen_conversion_remaps_interleaved_banks():
+    pts, rings = _spin_cloud(n=128, rings=32)
+    pts[3] = np.nan
+    # LSC32-style interleave: even lasers lower bank, odd lasers upper bank
+    angles = np.empty(32)
+    angles[0::2] = -16.0 + np.arange(16)
+    angles[1::2] = 0.0 + np.arange(16)
+    f = cv.leishen_to_frame(pts, np.zeros(len(pts)), rings, stamp=2.0,
+                            vertical_angles=angles)
+    assert len(f["xyz"]) == len(pts) - 1
+    assert f["stamp"] == 2.0
+    # bottom-up: laser 0 (lowest angle) -> ring 0, laser 1 (angle 0) -> ring 16
+    lid = f["laser_id"]
+    raw = rings[np.isfinite(pts).all(axis=1)]
+    assert (lid[raw == 0] == 0).all()
+    assert (lid[raw == 1] == 16).all()
+    assert f["time"].max() > 0.05
+
+
 def test_gps_to_utm_geodetic_invariants():
     # on a zone's central meridian the easting is exactly the 500 km offset
     e, n, zone, band = cv.gps_to_utm(48.0, 3.0)  # zone 31 central meridian

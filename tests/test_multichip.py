@@ -155,8 +155,20 @@ def test_shard_extraction_matches_single_device():
     stage is per-ring independent, so the sharded extractor must reproduce
     the single-device trajectory on an unsaturated scene (keypoint sets
     identical up to compaction order)."""
+    import dataclasses
+
+    from lidarslam_tpu.io import synthetic
+    from lidarslam_tpu.parallel import sharded
+    from lidarslam_tpu.slam import Slam
+    from tests.test_slam_e2e import small_config
+
     frames = synthetic.generate_sequence(n_frames=6, motion_distortion=False)
-    cfg = _small_cfg()
+    cfg = small_config()
+    # unsaturated keypoint budget: at saturation the global even-spread
+    # compaction and the per-slice K/n budgets legitimately keep different
+    # subsets (extract_sharded docstring), so equivalence needs headroom
+    cfg = dataclasses.replace(
+        cfg, extractor=dataclasses.replace(cfg.extractor, max_keypoints=4096))
     ref = Slam(cfg)
     for f in frames:
         rr = ref.add_frame(f)

@@ -179,6 +179,46 @@ def test_capacity_overflow_is_counted():
     assert int(m2.overflow) == 0
 
 
+def test_capacity_eviction_is_isotropic():
+    """Sustained overflow must keep the map centered on the window (evict
+    farthest-from-center, not largest-key): after inserting ~3x capacity of
+    uniformly spread leaves, the survivors' centroid stays near the window
+    center and both tails of every axis survive (round-3 VERDICT item 4)."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, capacity=256)
+    m = VoxelMapEmpty(cfg)
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        m = _add(m, rng.uniform(-8, 8, (256, 3)).astype(np.float32), cfg=cfg)
+    pts = _points(m)
+    assert int(m.overflow) > 0
+    # centroid near window center, not pushed toward the small-key corner
+    assert np.linalg.norm(pts.mean(0)) < 1.5
+    # every axis keeps both signs (a biased largest-key eviction drops the
+    # +x edge entirely)
+    for ax in range(3):
+        assert pts[:, ax].max() > 2.0 and pts[:, ax].min() < -2.0
+    # survivors are the NEAREST leaves: max kept radius < typical dropped
+    r = np.linalg.norm(pts, axis=1)
+    assert np.median(r) < 6.0
+
+
+def test_capacity_eviction_spares_fixed():
+    """Fixed points must never be evicted at capacity."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, capacity=64)
+    m = VoxelMapEmpty(cfg)
+    # 32 fixed points far from center (prime eviction candidates by
+    # distance), one per 0.5 m leaf
+    gx, gy = np.meshgrid(6.0 + 0.5 * np.arange(8), 6.0 + 0.5 * np.arange(4))
+    fixed_pts = np.stack([gx.ravel(), gy.ravel(), np.zeros(32)], 1).astype(np.float32)
+    m = _add(m, fixed_pts, cfg=cfg, fixed=True)
+    rng = np.random.default_rng(3)
+    m = _add(m, rng.uniform(-2, 2, (300, 3)).astype(np.float32), cfg=cfg)
+    pts, _, _, fix = vm.gather_valid_points(m, clean=False, cfg=cfg)
+    assert int(fix.sum()) == 32
+
+
 class _OracleGrid:
     """Sequential dict-grid oracle of RollingGrid::Add semantics."""
 
