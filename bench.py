@@ -114,7 +114,11 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
     nprof = profile_frames if args.profile else 0
     sensor = synthetic.SensorModel(n_rings=rings, n_azimuth=azimuth)
     t0 = time.perf_counter()
+    # corridor-bound trajectory: straight_then_turn leaves the street after
+    # ~18 s and drives into the building band (the r03 bench measured five
+    # "failed" frames that were really the sensor inside a solid box)
     frames = synthetic.generate_sequence(n_frames=n_total + nprof, sensor=sensor,
+                                         trajectory=synthetic.weaving_street_trajectory(),
                                          motion_distortion=False)
     if args.verbose:
         print(f"# [{rings}r] rendered {n_total} sweeps "
@@ -153,6 +157,8 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
     # segment; `value` is the best rep, with all reps recorded.
     reps = []
     per_rep = frames_n
+    n_failed = 0
+    min_matches = None
     for rep in range(args.reps):
         lo = warmup + rep * per_rep
         t0 = time.perf_counter()
@@ -161,16 +167,19 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
                 slam.add_frame_async(frames[i])
             outs = slam.flush()
             wall = time.perf_counter() - t0
-            for i, r in enumerate(outs):
-                if r.get("failure"):
-                    print(f"# WARNING frame {i} failed", file=sys.stderr)
         else:
+            outs = []
             for i in range(lo, lo + per_rep):
                 nxt = frames[i + 1] if i + 1 < len(frames) else None
-                r = slam.add_frame(frames[i], next_frame=nxt)
-                if r.get("failure"):
-                    print(f"# WARNING frame {i} failed", file=sys.stderr)
+                outs.append(slam.add_frame(frames[i], next_frame=nxt))
             wall = time.perf_counter() - t0
+        for i, r in enumerate(outs):
+            if r.get("failure"):
+                n_failed += 1
+                print(f"# WARNING frame {i} failed", file=sys.stderr)
+            m = r.get("n_matches")
+            if m is not None:
+                min_matches = m if min_matches is None else min(min_matches, m)
         reps.append(per_rep / wall)
         if args.verbose:
             print(f"# [{rings}r] rep {rep}: wall {1000*wall/per_rep:.1f} "
@@ -179,8 +188,19 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
     scans_per_sec = max(reps)
     wall = per_rep / scans_per_sec
     frames_n = per_rep
+    # robustness surface: a throughput number measured while the tracker is
+    # lost is not a valid number, so make failures/capacity machine-visible
+    dbg = slam.get_debug_information()
     record = {"scans_per_sec": round(scans_per_sec, 2),
-              "reps_scans_per_sec": [round(r, 2) for r in reps]}
+              "reps_scans_per_sec": [round(r, 2) for r in reps],
+              "n_failed_frames": n_failed,
+              "min_matches": min_matches,
+              "map_overflow": {k.rsplit("_", 1)[1]: v for k, v in dbg.items()
+                               if k.startswith("map_overflow")},
+              "kp_capacity_hits": {
+                  t.name.lower(): int(kp.count) >= cfg.extractor.max_keypoints
+                  for t, kp in slam.current_keypoints.items()
+                  if int(t) in [int(u) for u in cfg.used_types]}}
 
     # device-busy fraction: trace a short continuation window and sum the
     # trace's "XLA Modules" occupancy (utils/profiling.py). The fraction is

@@ -258,6 +258,17 @@ class SlamConfig:
     # intensity, float16 times) — ~2x less upload traffic; quantization is
     # far below spinning-LiDAR range noise
     compress_upload: bool = True
+    # prefix-packed sweep wire (frame.FlatRangeImage): upload only the
+    # valid, left-packed points (~25% fewer bytes at typical 64-beam fill)
+    # and rebuild the (R, C) planes with one on-device gather per sweep.
+    # Host->device transfers serialize with device compute on high-latency
+    # links, so wire bytes convert ~1:1 into wall time there.
+    flat_wire: bool = True
+    # optional hard cap on the flat-wire point capacity (0 = none): by
+    # default P is picked per window (max sweep total, rounded up to 16 Ki
+    # — exact-fit, lossless). A cap below a sweep's total drops the tail
+    # columns of its fullest rings only (water-fill, frame.flatten_packed).
+    wire_capacity: int = 0
 
     # sub-configs
     extractor: ExtractorConfig = ExtractorConfig()

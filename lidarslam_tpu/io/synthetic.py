@@ -208,6 +208,27 @@ def straight_then_turn_trajectory(speed=2.0, yaw_rate_deg=6.0, turn_start=6.0):
     return pose_at
 
 
+def weaving_street_trajectory(speed=2.0, weave_amp=2.0, weave_period=20.0):
+    """Pose callable: drive +x down the street's open corridor (|y| < ~5 in
+    `default_world`) with a gentle sinusoidal weave, yaw tangent to the path.
+
+    `straight_then_turn_trajectory`'s constant-rate turn leaves the corridor
+    after ~18 s and drives INTO the building band (y >= 7) — fine for short
+    golden sequences, degenerate for long ones (the ray caster then returns
+    a box interior and localization legitimately fails). This trajectory is
+    valid for the full street length (x in [-10, 120]: ~65 s at 2 m/s) while
+    still exercising continuous yaw/vy motion."""
+    w = 2 * np.pi / weave_period
+
+    def pose_at(t):
+        x = speed * t
+        y = weave_amp * np.sin(w * t)
+        yaw = np.arctan2(weave_amp * w * np.cos(w * t), speed)
+        return se3.pose_to_hmat([x, y, 1.8, 0.0, 0.0, yaw])
+
+    return pose_at
+
+
 def generate_sequence(n_frames=20, world=None, sensor=None, trajectory=None,
                       seed=0, motion_distortion=True):
     """Render a full sweep sequence. Returns list of render_sweep dicts."""

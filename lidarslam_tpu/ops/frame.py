@@ -92,6 +92,103 @@ def _pack_planes(q, inten8, time_plane, valid8) -> "PackedRangeImage":
         counts=valid.sum(axis=1).astype(np.int32))
 
 
+class FlatRangeImage:
+    """Prefix-packed wire: only the VALID points travel the host->device
+    link. Rows of the range image are left-packed by construction
+    (build_range_image appends per ring), so the whole sweep is the
+    concatenation of per-ring prefixes — a flat (P,) stream plus the (R,)
+    counts reconstructs the (R, C) planes with one gather. At typical
+    spinning-LiDAR fill (~75% valid slots at 64-beam), this cuts the wire
+    ~25% below the dense PackedRangeImage — and on the measured tunnel,
+    host->device transfers serialize with device compute, so wire bytes
+    convert 1:1 into wall time (docs/PERFORMANCE.md tunnel forensic).
+
+    P (the flat capacity) is static: `wire_capacity` (ExtractorConfig) or
+    R*C when unset (lossless). When a sweep exceeds P, ring counts are
+    water-filled down to a uniform per-ring cap (drops the tail columns of
+    the fullest rings only — the same overflow semantics as
+    max_ring_points, applied at the wire).
+
+    Layout: xyz_q (P, 3) int16 (4 mm), meta (P, 2) uint8 [intensity, t_q],
+    t_min/t_scale () f32, counts (R,) int32. Registered as a pytree with
+    (R, C) static so it passes through jit and lax.scan stacking."""
+
+    __slots__ = ("xyz_q", "meta", "t_min", "t_scale", "counts", "shape")
+
+    def __init__(self, xyz_q, meta, t_min, t_scale, counts, shape):
+        self.xyz_q = xyz_q
+        self.meta = meta
+        self.t_min = t_min
+        self.t_scale = t_scale
+        self.counts = counts
+        self.shape = tuple(shape)
+
+    def unpack(self) -> "RangeImage":
+        R, C = self.shape
+        P = self.xyz_q.shape[-2]
+        counts = self.counts
+        starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+        col = jnp.arange(C, dtype=jnp.int32)
+        valid = col[None, :] < counts[:, None]
+        idx = jnp.minimum(starts[:, None] + col[None, :], P - 1).reshape(-1)
+        xyz = jnp.take(self.xyz_q, idx, axis=0).reshape(R, C, 3)
+        meta = jnp.take(self.meta, idx, axis=0).reshape(R, C, 2)
+        xyz = jnp.where(valid[..., None], xyz.astype(jnp.float32)
+                        * XYZ_QUANT_SCALE, 0.0)
+        inten = jnp.where(valid, meta[..., 0].astype(jnp.float32), 0.0)
+        time = self.t_min + meta[..., 1].astype(jnp.float32) * self.t_scale
+        return RangeImage(xyz=xyz, intensity=inten,
+                          time=jnp.where(valid, time, 0.0), valid=valid)
+
+    @property
+    def n_rings(self):
+        return self.shape[0]
+
+    @property
+    def max_points(self):
+        return self.shape[1]
+
+
+jax.tree_util.register_pytree_node(
+    FlatRangeImage,
+    lambda ri: ((ri.xyz_q, ri.meta, ri.t_min, ri.t_scale, ri.counts), ri.shape),
+    lambda shape, ch: FlatRangeImage(*ch, shape))
+
+
+def _water_fill_cap(counts: np.ndarray, budget: int) -> np.ndarray:
+    """Largest uniform per-ring cap k with sum(min(counts, k)) <= budget."""
+    if counts.sum() <= budget:
+        return counts
+    lo, hi = 0, int(counts.max())
+    while lo < hi:                      # bisect on k (<= 12 iterations)
+        mid = (lo + hi + 1) // 2
+        if int(np.minimum(counts, mid).sum()) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    return np.minimum(counts, lo)
+
+
+def flatten_packed(ri: "PackedRangeImage", wire_capacity: int = 0) -> "FlatRangeImage":
+    """Host-side PackedRangeImage -> FlatRangeImage (see FlatRangeImage)."""
+    q = np.asarray(ri.xyz_q)
+    R, C = q.shape[:2]
+    counts = np.asarray(ri.counts).astype(np.int64)
+    P = int(wire_capacity) if wire_capacity else R * C
+    kept = _water_fill_cap(counts, P)
+    mask = np.arange(C)[None, :] < kept[:, None]
+    n = int(kept.sum())
+    xyz_q = np.zeros((P, 3), np.int16)
+    meta = np.zeros((P, 2), np.uint8)
+    xyz_q[:n] = q[mask]
+    meta[:n, 0] = np.asarray(ri.intensity)[mask]
+    meta[:n, 1] = np.asarray(ri.t_q)[mask]
+    return FlatRangeImage(xyz_q=xyz_q, meta=meta, t_min=np.float32(ri.t_min),
+                          t_scale=np.float32(ri.t_scale),
+                          counts=kept.astype(np.int32), shape=(R, C))
+
+
 class ByteRangeImage:
     """PackedRangeImage serialized into ONE byte buffer so each sweep is a
     single host->device transfer (4 separate uploads cost ~1.5 ms of host
@@ -147,7 +244,7 @@ def pack_range_image_bytes(q, inten8, t16, valid8, device=True):
 
 
 def ensure_range_image(ri) -> "RangeImage":
-    if isinstance(ri, (PackedRangeImage, ByteRangeImage)):
+    if isinstance(ri, (PackedRangeImage, ByteRangeImage, FlatRangeImage)):
         return ri.unpack()
     return ri
 
@@ -366,6 +463,11 @@ def stack_range_images(ris):
         return jnp.stack(leaves)
     if isinstance(r0, ByteRangeImage):
         return ByteRangeImage(stack([r.buf for r in ris]), r0.shape)
+    if isinstance(r0, FlatRangeImage):
+        return FlatRangeImage(
+            *(stack([getattr(r, f) for r in ris])
+              for f in ("xyz_q", "meta", "t_min", "t_scale", "counts")),
+            shape=r0.shape)
     cls = type(r0)
     return cls(*(stack([getattr(r, f) for r in ris]) for f in cls._fields))
 
@@ -374,6 +476,11 @@ def to_device_range_image(ri):
     """Upload one host-built sweep (per-frame fallback of the window path)."""
     if isinstance(ri, ByteRangeImage):
         return ByteRangeImage(jnp.asarray(ri.buf), ri.shape)
+    if isinstance(ri, FlatRangeImage):
+        return FlatRangeImage(
+            *(jnp.asarray(getattr(ri, f))
+              for f in ("xyz_q", "meta", "t_min", "t_scale", "counts")),
+            shape=ri.shape)
     cls = type(ri)
     return cls(*(jnp.asarray(getattr(ri, f)) for f in cls._fields))
 

@@ -157,9 +157,13 @@ def _evaluate(blocks: Sequence[Matches], pose, saturation, axis_name=None, extra
         g = g + jnp.stack(gb)
         cost = cost + jnp.sum(w * tukey_rho(s, saturation))
     if axis_name is not None:
-        cost = jax.lax.psum(cost, axis_name)
-        H = jax.lax.psum(H, axis_name)
-        g = jax.lax.psum(g, axis_name)
+        # ONE 43-float psum per LM evaluation instead of three (cost, H, g):
+        # at ~7 ICP rounds x <=15 LM evals/frame the per-collective latency —
+        # not the payload — dominates the SPMD overhead (round-3 VERDICT
+        # item 6: +29% at N=8)
+        flat = jax.lax.psum(
+            jnp.concatenate([cost[None], g, H.reshape(36)]), axis_name)
+        cost, g, H = flat[0], flat[1:7], flat[7:].reshape(6, 6)
     # sensor constraints are replicated, added after the cross-shard reduce
     ec, eH, eg = _extra_terms(extras, pose)
     return cost + ec, H + eH, g + eg

@@ -422,7 +422,19 @@ class Slam:
         buf, self._window_buf = self._window_buf, []
 
         def run(buf=buf):
-            ris = frame_mod.stack_range_images([r for r, _ in buf])
+            ris = [r for r, _ in buf]
+            if self.cfg.flat_wire and isinstance(ris[0], frame_mod.PackedRangeImage):
+                # prefix-packed wire: upload only the valid points. P is the
+                # window's max sweep total rounded up to 16 Ki — exact-fit
+                # byte savings with a bounded set of compiled window
+                # programs (<= 8 buckets, one in steady state)
+                R, C = ris[0].intensity.shape
+                need = max(int(np.asarray(r.counts).sum()) for r in ris)
+                P = min(R * C, -(-max(need, 1) // 16384) * 16384)
+                if self.cfg.wire_capacity:
+                    P = min(P, self.cfg.wire_capacity)
+                ris = [frame_mod.flatten_packed(r, P) for r in ris]
+            ris = frame_mod.stack_range_images(ris)
             stamps = np.asarray([s for _, s in buf], np.float32)
             self._stream_state, packed, kps_flat = self._process_stream_window(
                 ris, self._stream_state, stamps,

@@ -1,5 +1,7 @@
 """Longer-horizon stability: 40 frames with a sustained turn."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -38,3 +40,45 @@ def test_forty_frames_with_turn_bounded_drift():
     assert max(errs_yaw) < 2.5, errs_yaw
     # trajectory length sanity: we actually went somewhere
     assert np.linalg.norm(slam.Tworld[:3, 3]) > 7.0
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="long 64-beam regression; set RUN_SLOW=1 "
+                    "(minutes on CPU, seconds on TPU with a warm cache)")
+def test_two_hundred_frames_64beam_zero_failures():
+    """>=200-frame 64-beam run with the EXACT bench-config shapes: zero
+    `failure` frames and bounded ATE over the whole horizon (round-3
+    VERDICT item 1 — the r03 bench lost the tracker at frame ~193 because
+    the old trajectory drove into a building; the failure guard must be a
+    last resort, not steady state, Slam.cxx:1098-1107)."""
+    sensor = synthetic.SensorModel(n_rings=64, n_azimuth=1800,
+                                   range_noise=0.008)
+    frames = synthetic.generate_sequence(
+        n_frames=200, sensor=sensor, motion_distortion=False,
+        trajectory=synthetic.weaving_street_trajectory())
+    cfg = SlamConfig(
+        extractor=ExtractorConfig(n_rings=64, max_ring_points=2048,
+                                  max_keypoints=8192),
+        edge_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
+        plane_map=MapConfig(leaf_size=0.60, capacity=1 << 16),
+        blob_map=MapConfig(leaf_size=0.30, capacity=1 << 16))
+    slam = Slam(cfg)
+    gt0 = frames[0]["gt_pose"]
+    n_failed = 0
+    errs_t = []
+    for lo in range(0, len(frames), 50):
+        for f in frames[lo:lo + 50]:
+            slam.add_frame_async(f)
+        for f, r in zip(frames[lo:lo + 50], slam.flush()):
+            n_failed += bool(r["failure"])
+            gt = se3.hmat_inverse(gt0) @ f["gt_pose"]
+            errs_t.append(np.linalg.norm(r["pose"][:3, 3] - gt[:3, 3]))
+    errs_t = np.asarray(errs_t)
+    assert n_failed == 0
+    # ~40 m travelled with continuous weave: drift stays bounded throughout
+    assert errs_t.max() < 0.6, errs_t.max()
+    assert errs_t[-1] < 0.5, errs_t[-1]
+    dbg = slam.get_debug_information()
+    # capacity-eviction must not blind the map (isotropic eviction): the
+    # tracker keeps matching to the end even if some leaves were dropped
+    assert dbg["total_matched_keypoints"] > 200

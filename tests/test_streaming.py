@@ -23,6 +23,44 @@ def frames():
                                        sensor=synthetic.SensorModel(range_noise=0.005))
 
 
+def test_flat_wire_unpacks_identical_to_planes(frames):
+    """FlatRangeImage (prefix-packed wire) must reconstruct the exact same
+    RangeImage as the dense PackedRangeImage when nothing is dropped."""
+    import jax
+    from lidarslam_tpu.ops import frame as fm
+
+    f = frames[0]
+    planes = fm.build_range_image(f["xyz"], f["intensity"], f["laser_id"],
+                                  f["time"], 16, 1024, packed=True, device=False)
+    total = int(np.asarray(planes.counts).sum())
+    flat = fm.flatten_packed(planes, wire_capacity=-(-total // 16384) * 16384)
+    a = jax.tree.map(np.asarray, fm.to_device_range_image(planes).unpack())
+    b = jax.tree.map(np.asarray, fm.to_device_range_image(flat).unpack())
+    np.testing.assert_array_equal(a.valid, b.valid)
+    np.testing.assert_array_equal(a.xyz[a.valid], b.xyz[b.valid])
+    np.testing.assert_array_equal(a.intensity[a.valid], b.intensity[b.valid])
+    np.testing.assert_array_equal(a.time[a.valid], b.time[b.valid])
+    # wire never exceeds the dense planes (strictly smaller at 64-beam
+    # scale where the dense image is >> the 16 Ki bucket granularity)
+    assert flat.xyz_q.nbytes + flat.meta.nbytes <= \
+        planes.xyz_q.nbytes + planes.intensity.nbytes + planes.t_q.nbytes
+    assert flat.xyz_q.shape[0] == 16384  # exact-fit bucket for ~12k points
+
+
+def test_flat_wire_water_fill_cap():
+    """Over-capacity sweeps lose the tail columns of the fullest rings only
+    (uniform per-ring cap), never whole rings."""
+    from lidarslam_tpu.ops import frame as fm
+
+    counts = np.array([100, 500, 900, 20])
+    kept = fm._water_fill_cap(counts, budget=800)
+    assert kept.sum() <= 800
+    np.testing.assert_array_equal(kept, np.minimum(counts, kept.max()))
+    assert (kept[counts <= kept.max()] == counts[counts <= kept.max()]).all()
+    # under budget: untouched
+    np.testing.assert_array_equal(fm._water_fill_cap(counts, 10000), counts)
+
+
 def test_stream_matches_synchronous(frames):
     sync = Slam(_cfg())
     sync_poses = []
