@@ -148,6 +148,16 @@ def cmd_run(args):
     export.write_trajectory_csv(os.path.join(args.out, "Trajectory.csv"),
                                 slam, extras=summaries)
     export.save_trajectory_ply(os.path.join(args.out, "trajectory.ply"), slam)
+    if getattr(args, "vtp", False):
+        # ParaView-consumable outputs (the vtkSlam port payloads as files)
+        from lidarslam_tpu.io import vtp as vtp_mod
+        vtp_mod.write_trajectory_vtp(os.path.join(args.out, "trajectory.vtp"),
+                                     slam)
+        for k in slam.cfg.used_types:
+            pts, inten, _, _ = slam.get_map_points(k)
+            vtp_mod.write_point_cloud_vtp(
+                os.path.join(args.out, f"map_{k.name.lower()}.vtp"), pts,
+                {"Intensity": inten})
     n_agg = None
     if args.aggregate:
         n_agg = export.save_aggregated_pcd(
@@ -267,6 +277,21 @@ def cmd_compare(args):
     return 0 if cmp.success else 1
 
 
+def cmd_serve(args):
+    from lidarslam_tpu.server import SlamServer
+
+    slam = _build_slam(args)
+    server = SlamServer(slam, host=args.host, port=args.port,
+                        stream=not args.no_stream)
+    print(f"[lidarslam_tpu] serving on {args.host}:{server.server_address[1]}"
+          f" (stream={not args.no_stream})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="lidarslam_tpu")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -291,6 +316,9 @@ def main(argv=None):
                      help="0 none, 1 once, 2 refined")
     run.add_argument("--use-blobs", action="store_true")
     run.add_argument("--save-maps", action="store_true")
+    run.add_argument("--vtp", action="store_true",
+                     help="also write trajectory.vtp + map_*.vtp "
+                          "(ParaView-consumable VTK XML PolyData)")
     run.add_argument("--aggregate", action="store_true",
                      help="write aggregated.pcd (world-frame logged frames)")
     run.add_argument("--log-dir",
@@ -327,6 +355,24 @@ def main(argv=None):
     agg.add_argument("--types", help="comma list: edge,plane,blob")
     agg.add_argument("--no-undistort", action="store_true")
     agg.set_defaults(fn=cmd_aggregate)
+
+    srv = sub.add_parser("serve",
+                         help="serve the engine over TCP (the LidarSlamNode "
+                              "driver process, socket transport)")
+    srv.add_argument("--config", help="reference-style yaml config")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8342)
+    srv.add_argument("--no-stream", action="store_true",
+                     help="synchronous per-frame processing (poses return "
+                          "per frame instead of per flush)")
+    srv.add_argument("--rings", type=int, default=None)
+    srv.add_argument("--max-ring-points", type=int, default=None)
+    srv.add_argument("--max-keypoints", type=int, default=None)
+    srv.add_argument("--ego-motion", type=int, default=1)
+    srv.add_argument("--undistortion", type=int, default=0)
+    srv.add_argument("--use-blobs", action="store_true")
+    srv.add_argument("--verbosity", type=int, default=0)
+    srv.set_defaults(fn=cmd_serve)
 
     cmp = sub.add_parser("compare", help="compare a run against a golden run")
     cmp.add_argument("--res", required=True)

@@ -425,14 +425,18 @@ class Slam:
             ris = [r for r, _ in buf]
             if self.cfg.flat_wire and isinstance(ris[0], frame_mod.PackedRangeImage):
                 # prefix-packed wire: upload only the valid points. P is the
-                # window's max sweep total rounded up to 16 Ki — exact-fit
-                # byte savings with a bounded set of compiled window
-                # programs (<= 8 buckets, one in steady state)
+                # window's max sweep total +5% headroom, rounded up to 8 Ki,
+                # and STICKY (never shrinks for this instance): scene-fill
+                # noise around a bucket boundary must not trigger a fresh
+                # window-program compile mid-run (a boundary crossing cost a
+                # ~3-minute tunnel compile inside a timed bench rep)
                 R, C = ris[0].intensity.shape
                 need = max(int(np.asarray(r.counts).sum()) for r in ris)
-                P = min(R * C, -(-max(need, 1) // 16384) * 16384)
+                P = min(R * C, -(-max(int(need * 1.05), 1) // 8192) * 8192)
+                P = max(P, getattr(self, "_wire_bucket", 0))
                 if self.cfg.wire_capacity:
                     P = min(P, self.cfg.wire_capacity)
+                self._wire_bucket = P
                 ris = [frame_mod.flatten_packed(r, P) for r in ris]
             ris = frame_mod.stack_range_images(ris)
             stamps = np.asarray([s for _, s in buf], np.float32)

@@ -28,7 +28,8 @@ def test_one_nn_is_exact():
     d2, idx = pallas_knn.bucketed_knn(xyz, valid, queries, 1, interpret=True)
     ed2, eidx = _exact(xyz, valid, queries, 1)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(eidx))
-    np.testing.assert_allclose(np.asarray(d2), np.asarray(ed2), rtol=1e-5)
+    # packed d2: low row_bits mantissa bits truncated -> <=2^-12 relative
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(ed2), rtol=3e-4)
 
 
 def test_topk_recall_and_distance_consistency():
@@ -44,7 +45,7 @@ def test_topk_recall_and_distance_consistency():
     # every returned distance is the true distance of the returned slot
     x = np.asarray(xyz)
     true = ((np.asarray(queries)[:, None, :] - x[idx]) ** 2).sum(-1)
-    np.testing.assert_allclose(d2, true, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(d2, true, rtol=3e-4, atol=1e-3)
     # returned slots are valid and ascending
     assert np.asarray(valid)[idx].all()
     assert (np.diff(d2, axis=1) >= -1e-3).all()
@@ -66,7 +67,7 @@ def test_small_and_unaligned_sizes():
     d2, idx = pallas_knn.bucketed_knn(xyz, valid, queries, 5, interpret=True)
     ed2, eidx = _exact(xyz, valid, queries, 5)
     # with M << LANES buckets rarely collide: results should be exact
-    np.testing.assert_allclose(np.asarray(d2), np.asarray(ed2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(ed2), rtol=3e-4)
 
 
 def test_brute_knn_gate_falls_back_on_cpu():
@@ -75,7 +76,7 @@ def test_brute_knn_gate_falls_back_on_cpu():
     view = SubmapView(xyz=xyz, ring=jnp.zeros(1000, jnp.int32), valid=valid)
     d2, idx = brute_knn(view, queries, 4)
     ed2, eidx = _exact(xyz, valid, queries, 4)
-    np.testing.assert_allclose(np.asarray(d2), np.asarray(ed2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(ed2), rtol=3e-4)
 
 
 def test_capacity_guard():
@@ -181,8 +182,27 @@ def test_dead_query_tiles_skipped():
     ed2, eidx = _exact(xyz, valid, queries, 4)
     live = np.asarray(q_valid)
     np.testing.assert_allclose(np.asarray(d2)[live, 0],
-                               np.asarray(ed2)[live, 0], rtol=1e-5)
+                               np.asarray(ed2)[live, 0], rtol=3e-4)
     # entirely-dead tiles produce no neighbors; a dead query can only get
     # results if it shares the boundary (mixed) tile with live ones
     n_dead_with_results = int(np.isfinite(np.asarray(d2)[~live, 0]).sum())
     assert n_dead_with_results <= pallas_knn.TQ
+
+
+def test_prepared_planes_flat_index_matches_xyz():
+    """The matcher gathers neighbor coords from prepare_map's (RM, LANES)
+    planes by flat slot index (matcher._knn fast path): plane[s // L, s % L]
+    must equal xyz[s] for every valid slot, BIG for invalid ones."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    M = 3000
+    xyz = jnp.asarray(rng.uniform(-10, 10, (M, 3)).astype(np.float32))
+    valid = jnp.asarray(rng.random(M) > 0.3)
+    prep = pallas_knn.prepare_map(xyz, valid)
+    flat = jnp.stack([prep.px.reshape(-1), prep.py.reshape(-1),
+                      prep.pz.reshape(-1)], axis=-1)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(np.asarray(flat[:M])[v], np.asarray(xyz)[v])
+    assert (np.asarray(flat[:M])[~v] == pallas_knn.BIG).all()
+    assert (np.asarray(flat[M:]) == pallas_knn.BIG).all()
