@@ -925,14 +925,25 @@ class Slam:
                                     gps_to_sensor_offset=None,
                                     use_device_backend=None,
                                     n_segments: int = 0,
-                                    g2o_file_name: str = "") -> bool:
+                                    g2o_file_name: str = "",
+                                    odometry_sigma_floor: float = 0.0) -> bool:
         """Optimize the whole logged trajectory against GPS priors and
         rebuild the maps from the logged keypoints. Returns success.
 
         `use_device_backend` selects the batched JAX solver (default: auto,
         device for >= 100 poses); `n_segments > 1` uses the segment-Schur
         partitioned solve. `g2o_file_name` dumps the graph in g2o text
-        format before optimizing (PoseGraphOptimization.cxx:164-170)."""
+        format before optimizing (PoseGraphOptimization.cxx:164-170).
+
+        `odometry_sigma_floor` [m]: additive floor on the odometry edges'
+        covariance. The registration covariance models MATCH NOISE only —
+        with thousands of matches it is ~mm-scale and the chain becomes
+        numerically rigid, so GPS priors can only align it globally, never
+        bend accumulated drift out of the interior. A floor at the expected
+        systematic per-frame drift (1-2 cm outdoors) lets the priors
+        actually correct the trajectory; 0 keeps exact reference semantics
+        (information = inverse SLAM covariance,
+        PoseGraphOptimization.cxx:222-247)."""
         from lidarslam_tpu.backend import posegraph
 
         cfg = self.cfg
@@ -947,6 +958,8 @@ class Slam:
         poses = [e["pose"] for e in self.log_trajectory]
         covs = [e["covariance"] if np.trace(e["covariance"]) > 0 else np.eye(6) * 1e-4
                 for e in self.log_trajectory]
+        if odometry_sigma_floor > 0:
+            covs = [c + np.eye(6) * odometry_sigma_floor**2 for c in covs]
 
         if g2o_file_name:
             gps_vertex = [int(np.argmin(np.abs(times - t))) for t in gps_times]
