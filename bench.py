@@ -159,6 +159,7 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
     per_rep = frames_n
     n_failed = 0
     min_matches = None
+    kp_hits = [False, False, False]   # per-type capacity hit on ANY frame
     for rep in range(args.reps):
         lo = warmup + rep * per_rep
         t0 = time.perf_counter()
@@ -176,10 +177,14 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
         for i, r in enumerate(outs):
             if r.get("failure"):
                 n_failed += 1
-                print(f"# WARNING frame {i} failed", file=sys.stderr)
+                print(f"# WARNING frame {lo + i} failed", file=sys.stderr)
             m = r.get("n_matches")
             if m is not None:
                 min_matches = m if min_matches is None else min(min_matches, m)
+            kc = r.get("kp_counts")
+            if kc is not None:
+                for t in range(3):
+                    kp_hits[t] |= int(kc[t]) >= cfg.extractor.max_keypoints
         reps.append(per_rep / wall)
         if args.verbose:
             print(f"# [{rings}r] rep {rep}: wall {1000*wall/per_rep:.1f} "
@@ -198,9 +203,8 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
               "map_overflow": {k.rsplit("_", 1)[1]: v for k, v in dbg.items()
                                if k.startswith("map_overflow")},
               "kp_capacity_hits": {
-                  t.name.lower(): int(kp.count) >= cfg.extractor.max_keypoints
-                  for t, kp in slam.current_keypoints.items()
-                  if int(t) in [int(u) for u in cfg.used_types]}}
+                  t.name.lower(): kp_hits[int(t)]
+                  for t in cfg.used_types}}
 
     # device-busy fraction: trace a short continuation window and sum the
     # trace's "XLA Modules" occupancy (utils/profiling.py). The fraction is

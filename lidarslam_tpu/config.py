@@ -265,9 +265,10 @@ class SlamConfig:
     # links, so wire bytes convert ~1:1 into wall time there.
     flat_wire: bool = True
     # optional hard cap on the flat-wire point capacity (0 = none): by
-    # default P is picked per window (max sweep total, rounded up to 16 Ki
-    # — exact-fit, lossless). A cap below a sweep's total drops the tail
-    # columns of its fullest rings only (water-fill, frame.flatten_packed).
+    # default P is picked per window (max sweep total +5% headroom, rounded
+    # up to an 8 Ki bucket — lossless, and sticky across windows so fill
+    # noise can't retrigger compiles). A cap below a sweep's total drops the
+    # tail columns of its fullest rings only (water-fill, frame.flatten_packed).
     wire_capacity: int = 0
 
     # sub-configs

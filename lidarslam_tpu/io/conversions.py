@@ -60,7 +60,7 @@ def velodyne_to_frame(xyz, intensity, ring, stamp, time=None, sweep_duration=0.1
 
 def robosense_to_frame(xyz, intensity, ring, stamp, sweep_duration=0.1,
                        ring_remap=None, vertical_angles=None, device_id=0,
-                       seq=None):
+                       seq=None, n_lasers=None):
     """RoboSense-style cloud -> engine frame: drop NaNs and dual-return
     duplicates, remap rings bottom-up, synthesize times.
 
@@ -68,7 +68,12 @@ def robosense_to_frame(xyz, intensity, ring, stamp, sweep_duration=0.1,
     `ring_remap` wins; else the RS16 table applies iff the cloud has 16
     lasers; else identity. `vertical_angles` (per-laser, firing order)
     derives the remap data-driven for other models (RS32/RSBPEARL — the
-    reference leaves these as a TODO, RobosenseToLidarNode.cxx:31)."""
+    reference leaves these as a TODO, RobosenseToLidarNode.cxx:31).
+
+    `n_lasers` is the sensor's structural laser count (the reference uses
+    the organized cloud's height, not the data max). Pass it when known:
+    inferring it from `ring.max()+1` mis-gates the RS16 remap on frames
+    where the top beam has no valid return."""
     xyz = np.asarray(xyz, np.float64)
     intensity = np.asarray(intensity, np.float32)
     ring = np.asarray(ring, np.int64)
@@ -79,7 +84,8 @@ def robosense_to_frame(xyz, intensity, ring, stamp, sweep_duration=0.1,
         same = np.all(np.abs(np.diff(xyz, axis=0)) < 1e-9, axis=1)
         keep = np.concatenate([[True], ~same])
         xyz, intensity, ring = xyz[keep], intensity[keep], ring[keep]
-    n_lasers = int(ring.max()) + 1 if len(ring) else 0
+    if n_lasers is None:
+        n_lasers = int(ring.max()) + 1 if len(ring) else 0
     if ring_remap is None and vertical_angles is not None:
         ring_remap = laser_id_mapping(vertical_angles)
     if ring_remap is None and n_lasers == 16:

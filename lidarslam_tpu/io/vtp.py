@@ -13,9 +13,10 @@ Writers:
 - `write_point_cloud_vtp(path, xyz, point_data=...)`: cloud as one vert
   cell per point (how LidarView renders maps/keypoints).
 - `write_trajectory_vtp(path, slam_or_arrays)`: the trajectory port — a
-  polyline through the poses carrying Time, Orientation(Quaternion,
-  xyzw like the reference's trajectory output), AxisAngle and the row-major
-  36-float Covariance arrays (vtkSlam trajectory arrays parity).
+  polyline through the poses carrying Time, Orientation(Quaternion) in
+  wxyz order (this engine's convention — note the reference emits xyzw),
+  AxisAngle and the row-major 36-float Covariance arrays (vtkSlam
+  trajectory arrays parity).
 
 A minimal reader (`read_vtp`) round-trips what these writers emit (tests);
 it is NOT a general VTK parser.

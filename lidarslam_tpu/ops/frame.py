@@ -103,7 +103,7 @@ class FlatRangeImage:
     host->device transfers serialize with device compute, so wire bytes
     convert 1:1 into wall time (docs/PERFORMANCE.md tunnel forensic).
 
-    P (the flat capacity) is static: `wire_capacity` (ExtractorConfig) or
+    P (the flat capacity) is static: `wire_capacity` (SlamConfig) or
     R*C when unset (lossless). When a sweep exceeds P, ring counts are
     water-filled down to a uniform per-ring cap (drops the tail columns of
     the fullest rings only — the same overflow semantics as

@@ -79,28 +79,28 @@ class FrameResult(NamedTuple):
     warp: object               # final WarpParams or None
     statuses: tuple            # (Q,) uint8 per used type
     weights: tuple             # (Q,) f32 per used type
-    packed: jax.Array = None   # (61,) f32 — all host-bound scalars in one
+    packed: jax.Array = None   # (64,) f32 — all host-bound scalars in one
                                # transfer (pose, trel, counts, flags, cov,
                                # roll, map overflow); the per-frame sync
                                # fetches only this
     submap_cache: tuple = (None, None, None)  # per-type SubmapCache out
     cache_stale: jax.Array = True             # () bool for the next frame
 
-PACKED_LEN = 61
+PACKED_LEN = 64
 
 
 def pack_scalars(pose, trel, failed, total, counts, cov, roll_offset, is_kf,
-                 overlap, map_overflow):
+                 overlap, map_overflow, kp_counts):
     return jnp.concatenate([
         pose, trel, counts.astype(jnp.float32),
         jnp.stack([failed.astype(jnp.float32), total.astype(jnp.float32),
                    is_kf.astype(jnp.float32), overlap]),
         cov.ravel(), roll_offset.astype(jnp.float32),
-        map_overflow.astype(jnp.float32)])
+        map_overflow.astype(jnp.float32), kp_counts.astype(jnp.float32)])
 
 
 def unpack_scalars(packed):
-    """numpy (61,) -> dict mirroring pack_scalars."""
+    """numpy (64,) -> dict mirroring pack_scalars."""
     import numpy as np
     return {
         "pose": np.asarray(packed[0:6], np.float64),
@@ -113,6 +113,7 @@ def unpack_scalars(packed):
         "cov": np.asarray(packed[19:55], np.float64).reshape(6, 6),
         "roll_offset": packed[55:58].astype(np.int64),
         "map_overflow": packed[58:61].astype(np.int64),
+        "kp_counts": packed[61:64].astype(np.int64),
     }
 
 
@@ -496,7 +497,10 @@ def process_keypoints(
         roll_offset=offset, is_keyframe=do_update, overlap=overlap, warp=warp,
         statuses=statuses, weights=wts,
         packed=pack_scalars(pose, trel, failed, total, counts, cov, offset,
-                            do_update, overlap, map_overflow),
+                            do_update, overlap, map_overflow,
+                            jnp.stack([kps[i].count if kps[i] is not None
+                                       else jnp.zeros((), jnp.int32)
+                                       for i in range(3)])),
         # a map update (or roll) invalidates the submap selection; the next
         # frame's matching rebuilds it lazily (Slam.cxx:1008 discipline).
         # first_frame skips matching entirely, so its cache is never built —
@@ -535,10 +539,10 @@ def process_frame_stream(ri: RangeImage, state: StreamState, stamp, az_res,
                          extras=(), axis_name=None, n_shards: int = 1,
                          shard_maps: bool = False,
                          shard_extraction: bool = False):
-    """One chained streaming step: returns (state', packed_out (64,),
+    """One chained streaming step: returns (state', packed_out (67,),
     kps_flat — one (7K+1,) log buffer per type, frame.flatten_keypoints).
 
-    packed_out = FrameResult.packed (61) + origin_vox after this frame (3);
+    packed_out = FrameResult.packed (64) + origin_vox after this frame (3);
     poses in it are relative to the origin *before* this frame's roll."""
     ri = ensure_range_image(ri)
     if shard_extraction and axis_name is not None:
@@ -625,7 +629,7 @@ def process_stream_window(ri_stack, state: StreamState, stamps, az_res,
     ~0.3 mm — see SlamConfig.stream_window). First frames / frames
     carrying sensor-constraint extras use the per-frame path.
 
-    Returns (state', packed (W, 64), kps_flat — per type (W, 7K+1))."""
+    Returns (state', packed (W, 67), kps_flat — per type (W, 7K+1))."""
     def body(st, xs):
         ri, stamp = xs
         st2, packed, kps_flat = process_frame_stream(

@@ -107,8 +107,17 @@ class _Handler(socketserver.BaseRequestHandler):
         slam = self.server.slam
         lock = self.server.slam_lock
         sock = self.request
+        # Poses are routed per client: this handler only collects outputs
+        # for stamps IT submitted, so a second connection (e.g. a map
+        # viewer) never receives another client's trajectory.
         pending = []
-        unsub = slam.subscribe(pending.append)
+        my_stamps = set()
+
+        def _on_output(out):
+            if float(out.stamp) in my_stamps:
+                pending.append(out)
+
+        unsub = slam.subscribe(_on_output)
         try:
             while True:
                 try:
@@ -118,38 +127,44 @@ class _Handler(socketserver.BaseRequestHandler):
                 t = header.get("type")
                 reply = None          # (header, payload) sent AFTER poses so
                 done = False          # a client awaiting the ack sees every
-                with lock:            # pose of the frames the op flushed
-                    if t == "frame":
-                        f = decode_frame(header, payload)
-                        if self.server.stream:
-                            slam.add_frame_async(f)
-                        else:
-                            slam.add_frame(f)
-                    elif t == "flush":
-                        slam.flush()
-                        reply = ({"type": "flushed",
-                                  "n_frames": int(slam.n_frames)}, b"")
-                    elif t == "command":
-                        slam.execute_command(int(header["command"]),
-                                             header.get("arg", ""))
-                        reply = ({"type": "ok"}, b"")
-                    elif t == "get_map":
-                        from lidarslam_tpu.config import Keypoint
+                try:                  # pose of the frames the op flushed
+                    with lock:
+                        if t == "frame":
+                            f = decode_frame(header, payload)
+                            my_stamps.add(float(f["stamp"]))
+                            if self.server.stream:
+                                slam.add_frame_async(f)
+                            else:
+                                slam.add_frame(f)
+                        elif t == "flush":
+                            slam.flush()
+                            reply = ({"type": "flushed",
+                                      "n_frames": int(slam.n_frames)}, b"")
+                        elif t == "command":
+                            slam.execute_command(int(header["command"]),
+                                                 header.get("arg", ""))
+                            reply = ({"type": "ok"}, b"")
+                        elif t == "get_map":
+                            from lidarslam_tpu.config import Keypoint
 
-                        slam.flush()
-                        pts, inten, _, _ = slam.get_map_points(
-                            Keypoint(int(header.get("keypoint", 1))))
-                        pl = (np.asarray(pts, np.float32).tobytes()
-                              + np.asarray(inten, np.float32).tobytes())
-                        reply = ({"type": "map", "n": len(pts),
-                                  "nbytes": len(pl)}, pl)
-                    elif t == "bye":
-                        slam.flush()
-                        done = True
-                    else:
-                        reply = ({"type": "error",
-                                  "message": f"unknown type {t!r}"}, b"")
-                    # drain per-frame outputs accumulated by the subscriber
+                            slam.flush()
+                            pts, inten, _, _ = slam.get_map_points(
+                                Keypoint(int(header.get("keypoint", 1))))
+                            pl = (np.asarray(pts, np.float32).tobytes()
+                                  + np.asarray(inten, np.float32).tobytes())
+                            reply = ({"type": "map", "n": len(pts),
+                                      "nbytes": len(pl)}, pl)
+                        elif t == "bye":
+                            slam.flush()
+                            done = True
+                        else:
+                            reply = ({"type": "error",
+                                      "message": f"unknown type {t!r}"}, b"")
+                except Exception as exc:  # bad request -> protocol error,
+                    reply = ({"type": "error",  # session stays alive
+                              "message": f"{type(exc).__name__}: {exc}"}, b"")
+                # drain per-frame outputs accumulated by the subscriber
+                with lock:
                     outs, pending[:] = list(pending), []
                 for out in outs:
                     _send(sock, _pose_msg(out))

@@ -623,6 +623,7 @@ class Slam:
                              "covariance": self.covariance.copy(),
                              "n_matches": int(u["total"]), "overlap": u["overlap"],
                              "failure": u["failed"],
+                             "kp_counts": u["kp_counts"],
                              "comply_motion_limits": self.comply_motion_limits})
                 self._emit_output(stamp, outs[-1], u["is_kf"],
                                   self.current_keypoints)
@@ -809,7 +810,7 @@ class Slam:
         """One host sync for the scalar outputs, then float64 bookkeeping."""
         import time as _time
         cfg = self.cfg
-        # a single (58,) transfer instead of nine small ones — the per-frame
+        # a single (64,) transfer instead of nine small ones — the per-frame
         # sync is tunnel-RTT bound
         u = pipeline.unpack_scalars(jax.device_get(res.packed))
         pose_rel, trel, failed, total = u["pose"], u["trel"], u["failed"], u["total"]
@@ -825,7 +826,7 @@ class Slam:
         if cfg.verbosity >= 1:
             cap = cfg.extractor.max_keypoints
             for t in cfg.used_types:
-                if int(res.keypoints[int(t)].count) >= cap:
+                if int(u["kp_counts"][int(t)]) >= cap:
                     self._log(f"{t.name} keypoints hit capacity {cap}; "
                               "raise extractor.max_keypoints for this sensor")
         self.current_warp = res.warp
@@ -872,6 +873,7 @@ class Slam:
             "overlap": self.overlap,
             "comply_motion_limits": self.comply_motion_limits,
             "failure": self.failure,
+            "kp_counts": u["kp_counts"],
             "duration": self.latency,
         }
         self._emit_output(stamp, ret, bool(is_kf), self.current_keypoints)

@@ -13,6 +13,14 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
+def _street_frame_cap(speed, sweep_duration=0.1, x_max=120.0):
+    """Max frame count before `weaving_street_trajectory` leaves the modeled
+    street (valid x range ends at ~120 m — synthetic.py docstring). Past it
+    the ray caster returns degenerate geometry and 'failures' measure the
+    scenario, not the tracker."""
+    return int(x_max / (speed * sweep_duration))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=30)
@@ -74,7 +82,7 @@ def main():
               sensor=synthetic.SensorModel(n_rings=64, n_azimuth=1024,
                                            elevation_min_deg=-24.8,
                                            elevation_max_deg=2.0),
-              n_frames=max(args.frames, 4 * args.frames))),
+              n_frames=min(4 * args.frames, _street_frame_cap(2.0)))),
     ]
 
     rows = []
@@ -108,18 +116,17 @@ def main():
     # ---- loop-closure-style correction: PGO with GPS priors cuts ATE ----
     # (the reference's GPS/SLAM calibration + pose-graph use case,
     # ros_wrapping command 2/3; tied to tests/test_posegraph.py).
-    # The scenario must actually DRIFT more than the GPS noise for the
-    # correction to be meaningful: long horizon, noisy ranges, a starved
-    # keypoint budget — then 2 cm GPS priors pull it back.
     # The engine must actually DRIFT more than the GPS noise for the
     # correction to be meaningful: fast motion, heavy range noise, a
-    # starved keypoint budget. ATE is ALIGNED (evo convention) on both
-    # sides — the reference's post-PGO re-anchor at the first optimized
-    # pose (Slam.cxx:404-419 parity) makes unaligned ATE anchor-noise-
-    # dominated, which measures the convention, not the correction.
+    # starved keypoint budget — then 2 cm GPS priors pull it back. ATE is
+    # ALIGNED (evo convention) on both sides — the reference's post-PGO
+    # re-anchor at the first optimized pose (Slam.cxx:404-419 parity) makes
+    # unaligned ATE anchor-noise-dominated, which measures the convention,
+    # not the correction.
     name = "VLP-16 drifted (4 m/s, sigma 8 cm, 256 kp) + GPS-prior PGO"
     frames = synthetic.generate_sequence(
-        n_frames=8 * args.frames, motion_distortion=False,
+        n_frames=min(8 * args.frames, _street_frame_cap(4.0)),
+        motion_distortion=False,
         trajectory=synthetic.weaving_street_trajectory(speed=4.0),
         sensor=synthetic.SensorModel(range_noise=0.08))
     drift_cfg = SlamConfig(

@@ -268,3 +268,19 @@ def test_autodetect_to_slam_end_to_end():
         r = slam.add_frame(conv)
         assert not r.get("failure", False)
     assert r["n_matches"] > 100
+
+
+def test_robosense_structural_laser_count_overrides_data_max():
+    """RS16 remap gating uses the sensor's structural laser count when
+    given: a frame whose top beam has no return must still be remapped
+    (inferring 15 lasers from ring.max()+1 would silently skip it)."""
+    from lidarslam_tpu.io.conversions import RS16_RING_REMAP
+
+    n = 64
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(n, 3)) * 5 + np.array([10.0, 0, 0])
+    ring = np.arange(n) % 15          # laser 15 absent this frame
+    f = cv.robosense_to_frame(xyz, np.ones(n), ring, stamp=0.0,
+                                       n_lasers=16)
+    want = np.asarray(RS16_RING_REMAP)[np.arange(n) % 15]
+    np.testing.assert_array_equal(f["laser_id"], want)

@@ -90,3 +90,49 @@ def test_served_command_dispatch():
         client.close()
     finally:
         server.shutdown()
+
+
+def test_bad_request_gets_error_reply_and_session_survives():
+    """A failing request must produce a protocol 'error' reply (not a dead
+    socket), and the session must keep serving afterwards."""
+    frames = _frames(2)
+    server = SlamServer(Slam(_cfg()), port=0)
+    server.serve_background()
+    try:
+        client = SlamClient(port=server.server_address[1])
+        with pytest.raises(RuntimeError, match="command"):
+            client.command(99999)             # unknown SlamCommand id
+        with pytest.raises(RuntimeError):
+            client.get_map(keypoint=2)        # blob map unused in small cfg
+        # same connection still works end-to-end
+        for f in frames:
+            client.send_frame(f)
+        poses = client.flush()
+        assert len(poses) == len(frames)
+        client.close()
+    finally:
+        server.shutdown()
+
+
+def test_poses_are_routed_to_the_submitting_client_only():
+    """A second connected client (e.g. a map viewer) must not receive pose
+    messages for frames another client streamed."""
+    frames = _frames(3)
+    server = SlamServer(Slam(_cfg()), port=0)
+    server.serve_background()
+    try:
+        viewer = SlamClient(port=server.server_address[1])
+        producer = SlamClient(port=server.server_address[1])
+        for f in frames:
+            producer.send_frame(f)
+        poses = producer.flush()
+        assert len(poses) == len(frames)
+        # the viewer triggers ops that drain outputs server-side; its own
+        # pose log must stay empty
+        viewer.get_map(keypoint=1)
+        viewer.flush()
+        assert viewer.poses == []
+        producer.close()
+        viewer.close()
+    finally:
+        server.shutdown()
