@@ -93,6 +93,42 @@ def _tunnel_health():
         return {}
 
 
+def _device_health():
+    """Stamp the CHIP's speed at bench time with two fixed reference ops
+    (a 2048^3 bf16 matmul -> achieved TFLOP/s, and an 8 MB f32 copy ->
+    achieved HBM GB/s). The tunneled chip is shared infrastructure: the
+    same compiled program has measured 1.5-1.8x slower device time across
+    captures hours apart (round 4), so absolute scans/s are only
+    comparable through this stamp."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        from jax import lax
+
+        # chain the reference ops ON DEVICE (one dispatch >> tunnel RTT),
+        # else the stamp measures dispatch latency instead of the chip
+        n, iters = 2048, 128
+        a = jnp.asarray(np.random.default_rng(0).normal(size=(n, n)),
+                        jnp.bfloat16)
+        mm = jax.jit(lambda x: lax.fori_loop(0, iters, lambda i, c: x @ c, x))
+        jax.block_until_ready(mm(a))
+        t0 = time.perf_counter()
+        jax.block_until_ready(mm(a))
+        dt_mm = (time.perf_counter() - t0) / iters
+        big = jnp.zeros((2 << 20,), jnp.float32)   # 8 MB
+        cp = jax.jit(lambda x: lax.fori_loop(0, 256, lambda i, c: c + 1.0, x))
+        jax.block_until_ready(cp(big))
+        t0 = time.perf_counter()
+        jax.block_until_ready(cp(big))
+        dt_cp = (time.perf_counter() - t0) / 256
+        return {"device_matmul_tflops": round(2 * n**3 / dt_mm / 1e12, 1),
+                "device_hbm_gbps": round(2 * big.nbytes / dt_cp / 1e9, 0)}
+    except Exception:
+        return {}
+
+
 def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
     import jax
     import numpy as np
@@ -277,6 +313,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     tunnel = _tunnel_health()
+    tunnel.update(_device_health())
     if args.rings is not None:
         rec = run_config(args, args.rings, args.azimuth, args.frames,
                          args.warmup, args.profile_frames)

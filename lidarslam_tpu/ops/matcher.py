@@ -114,24 +114,16 @@ def _knn(index: SubmapView, world, k, params: MatchingConfig, geom=None,
         return d2, nbr, rings, jnp.isfinite(d2)
     # exact brute-force scan (see SubmapView); blocks beyond the neighbor
     # gate are skipped on the Pallas path — any dropped neighbor would have
-    # been rejected by the `near` check below anyway
-    d2, idx = brute_knn(index, world, k,
-                        prune_radius=float(params.max_neighbors_distance),
-                        q_valid=q_valid, prepared=prepared)
+    # been rejected by the `near` check below anyway. Neighbor coordinates
+    # come straight out of the kernel (with_coords): the post-kernel xyz
+    # gather — whether from the HBM map table or the kernel's plane
+    # operands — measured 8.1 ms/frame at 64-beam scale (round-4 profile;
+    # XLA TPU gathers run ~20 ns/row regardless of source layout).
+    d2, idx, nbr = brute_knn(index, world, k,
+                             prune_radius=float(params.max_neighbors_distance),
+                             q_valid=q_valid, prepared=prepared,
+                             with_coords=True)
     found = jnp.isfinite(d2)
-    if prepared is not None:
-        # gather neighbor coords from the kernel's (RM, LANES) planes — the
-        # same values as index.xyz for valid slots, but these buffers are
-        # kernel operands XLA keeps VMEM-resident: the equivalent gather
-        # from the HBM-resident map table profiled at 1.18 ms/frame at
-        # 64-beam scale (vs 0.13 ms from the pinned planes, round-4)
-        flat = jnp.minimum(idx, index.xyz.shape[0] - 1)
-        nbr = jnp.stack([prepared.px.reshape(-1)[flat],
-                         prepared.py.reshape(-1)[flat],
-                         prepared.pz.reshape(-1)[flat]], axis=-1)
-        nbr = jnp.where(found[..., None], nbr, 0.0)
-    else:
-        nbr = index.xyz[idx]                   # (Q, k, 3) — post-top-k, small
     return d2, nbr, index.ring[idx], found
 
 

@@ -373,7 +373,7 @@ def prepare_knn_index(view: SubmapView, k: int, recall_target: float = 0.99,
 def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192,
               recall_target: float = 0.99, use_pallas: bool | None = None,
               prune_radius: float | None = None, q_valid=None,
-              prepared=None):
+              prepared=None, with_coords: bool = False):
     """k nearest valid points per query (exact distances, per-chunk selection
     via the TPU-optimized `approx_max_k` PartialReduce at `recall_target`;
     pass 1.0 for the fully exact `top_k` path).
@@ -383,14 +383,18 @@ def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192,
     `prune_radius` (Pallas path only): skip map blocks farther than this
     from each query tile — pass the caller's neighbor-distance gate.
 
-    Returns (sq_dists (Q, k) ascending with +inf for missing, rows (Q, k))."""
+    Returns (sq_dists (Q, k) ascending with +inf for missing, rows (Q, k));
+    with `with_coords=True` additionally the neighbor coordinates
+    (Q, k, 3), 0 where missing — extracted inside the Pallas kernel on TPU
+    (no post-hoc xyz gather), gathered from `view.xyz` on other backends."""
     M = view.xyz.shape[0]
     use_pallas = _pallas_eligible(M, k, recall_target, use_pallas)
     if use_pallas:
         from lidarslam_tpu.ops import pallas_knn
         return pallas_knn.bucketed_knn(view.xyz, view.valid, queries, k,
                                        prune_radius=prune_radius,
-                                       q_valid=q_valid, prepared=prepared)
+                                       q_valid=q_valid, prepared=prepared,
+                                       with_coords=with_coords)
     Q = queries.shape[0]
     qx, qy, qz = queries[:, 0:1], queries[:, 1:2], queries[:, 2:3]
     chunk = min(chunk, M)
@@ -422,6 +426,9 @@ def brute_knn(view: SubmapView, queries, k: int, chunk: int = 8192,
         nd2, sel = jax.lax.top_k(-cand_d, k)
         best_d = -nd2
         best_i = jnp.take_along_axis(cand_i, sel, axis=1)
+    if with_coords:
+        nbr = jnp.where(jnp.isfinite(best_d)[..., None], view.xyz[best_i], 0.0)
+        return best_d, best_i, nbr
     return best_d, best_i
 
 

@@ -93,11 +93,10 @@ def shard_knn(view: SubmapView, queries, k: int, axis_name):
     merges them. Returns (d2 (Q, k) ascending with +inf for missing,
     nbr_xyz (Q, k, 3), nbr_ring (Q, k)) — coordinates travel with the
     distances so no cross-device row gather is ever needed."""
-    d2, rows = voxel_map.brute_knn(view, queries, k)
-    nbr = view.xyz[rows]                                  # (Q, k, 3)
+    # neighbor coords come straight from the k-NN (in-kernel on TPU — no
+    # post-hoc xyz gather), already zeroed where missing
+    d2, rows, nbr = voxel_map.brute_knn(view, queries, k, with_coords=True)
     ring = view.ring[rows]                                # (Q, k)
-    # guard: brute_knn clamps rows of empty slots; invalidate their coords
-    nbr = jnp.where(jnp.isfinite(d2)[..., None], nbr, 0.0)
 
     all_d2 = jax.lax.all_gather(d2, axis_name)            # (n, Q, k)
     all_nbr = jax.lax.all_gather(nbr, axis_name)          # (n, Q, k, 3)
