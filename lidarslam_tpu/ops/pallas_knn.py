@@ -10,11 +10,23 @@ top-k packed results ever reach HBM.
 
 Algorithm = the bucketed PartialReduce that backs `jax.lax.approx_max_k`
 (TPU kernel of Chern et al., arXiv:2206.14286): map slot j lands in bucket
-j mod L; each bucket keeps its running minimum. The top-k over the L=1024
+j mod L; each bucket keeps its running minimum. The top-k over the L
 bucket minima is then extracted EXACTLY inside the kernel (k passes of
 min + mask over VMEM — v1 shipped the (Q, L) minima to HBM and paid
-~5.5 ms of approx_top_k + gather chains on 64-beam configs). Expected
-recall for k=10 over L=1024 buckets is ~0.995; the 1-NN is always exact.
+~5.5 ms of approx_top_k + gather chains on 64-beam configs). The 1-NN is
+always exact at any L.
+
+The lane count L is chosen per map size (`pick_lanes`): a prune block is
+ROW_BLOCK x L consecutive sorted slots, so at L=1024 one block (8192
+slots) is as large as a typical live map and the AABB pruning has nothing
+to skip — measured scan fractions sat at ~1 block/tile regardless of key
+order (round-4 analysis). Maps up to 2^18 slots therefore run at L=128
+(block = 1024 slots, 8x finer pruning); to keep recall, buckets are then
+DEPTH 2 (each bucket carries its two smallest slots): top-k is lost only
+when >= 3 of the true k collide in one bucket, P ~ C(k,3)/L^2 ~ 0.7% for
+k=10 at L=128 — BETTER than the ~0.957 single-depth recall at L=1024.
+Hardware A/B (Q=8192, k=10, 64Ki-slot map, 9k live): L=1024/depth-1
+with_coords 2.44 ms -> L=128/depth-2 1.56 ms, identical results.
 
 Spatial pruning (v2): the map slot array is leaf-key sorted (voxel_map),
 so ROW_BLOCK-row blocks are key-contiguous, spatially tight slabs. Queries
@@ -62,11 +74,10 @@ from jax.experimental.pallas import tpu as pltpu
 TQ = 64          # queries per grid step; with TQ=128 the (TQ, RB, L)
                  # loop temps overflow the 16 MB scoped VMEM once the
                  # surrounding program is large (e.g. 64-beam configs)
-LANES = 1024     # bucket count = minor dim of the reshaped map
+LANES = 1024     # max bucket count = minor dim of the reshaped map
 ROW_BLOCK = 8    # map rows reduced per carry update (sublane-aligned:
                  # Mosaic requires the row-slice offset to be a provable
                  # multiple of 8 — hence block-unit loop bounds * 8)
-ROW_GROUP = 256  # map rows resident in VMEM per grid step (3 MB of coords)
 MAX_ROW_BITS = 11  # => max map capacity 2048 * LANES = 2,097,152 slots
 KP = 128         # output lane width holding the k extracted results
 SENTINEL = 0x7FFFFFFF  # python int: a module-level jnp scalar would be
@@ -74,11 +85,33 @@ SENTINEL = 0x7FFFFFFF  # python int: a module-level jnp scalar would be
 BIG = jnp.float32(1e9)  # coordinate sentinel for invalid slots (d2 ~ 3e18)
 
 
+def pick_lanes(M: int) -> int:
+    """Bucket count for an M-slot map: small maps get narrow (L=128) lanes
+    so the ROW_BLOCK x L prune blocks are spatially fine — and depth-2
+    buckets then hold recall ABOVE the wide single-depth kernel
+    (~0.993 vs ~0.957 for k=10). Large maps keep L=1024 so RM stays within
+    the packed row-id budget."""
+    return 128 if M <= (1 << 18) else LANES
+
+
+def _depth(k: int, lanes: int) -> int:
+    """Bucket depth: 1-NN is exact at depth 1; narrow-lane configs carry
+    two slots per bucket to hold recall (see module docstring)."""
+    return 2 if (k > 1 and lanes <= 512) else 1
+
+
+def _row_group(RM: int, lanes: int) -> int:
+    """Map rows resident in VMEM per grid step (~3 MB of coords)."""
+    rows = max(ROW_BLOCK, (3 << 20) // (12 * lanes) // ROW_BLOCK * ROW_BLOCK)
+    return min(RM, rows)
+
+
 def _knn_kernel(nv_ref, lo_ref, nb_ref, qx_ref, qy_ref, qz_ref, px_ref,
                 py_ref, pz_ref, vals_ref, lanes_ref, cx_ref, cy_ref, cz_ref,
-                acc_ref, ax_ref, ay_ref, az_ref,
+                b1_ref, b2_ref, ax_ref, ay_ref, az_ref, ax2_ref, ay2_ref,
+                az2_ref,
                 *, rg: int, row_mask: int, k: int, n_groups: int,
-                with_coords: bool):
+                with_coords: bool, depth: int, L: int):
     """One query tile vs one map row group: packed running min over the
     tile's [lo, lo+nb) row blocks, then exact top-k extraction on the last
     group.
@@ -92,22 +125,36 @@ def _knn_kernel(nv_ref, lo_ref, nb_ref, qx_ref, qy_ref, qz_ref, px_ref,
     int32: the k smallest packed (distance-bits | global row) values and
     their bucket lanes; SENTINEL for dead tiles.
 
-    `with_coords`: three per-bucket coordinate accumulators ride along with
-    the packed running min, and extraction ALSO emits the selected
-    neighbors' coordinates (TQ, KP) x3 — the consumers' post-kernel gather
-    of neighbor xyz from HBM/plane tables measured 8.1 ms/frame at 64-beam
-    scale (XLA TPU gathers run ~20 ns/row), vs ~2x on the in-kernel scan
-    cost here. Packed values embed the unique row id in the low bits, so
-    strict `<` never ties across rows and the argmin-row coordinate select
-    is exact.
+    `with_coords`: per-bucket coordinate accumulators ride along with the
+    packed running min, and extraction ALSO emits the selected neighbors\'
+    coordinates (TQ, KP) x3 — the consumers\' post-kernel gather of
+    neighbor xyz from HBM/plane tables measured 8.1 ms/frame at 64-beam
+    scale (XLA TPU gathers run ~20 ns/row). Packed values embed the unique
+    row id in the low bits, so strict `<` never ties across distinct slots
+    and every argmin select below is exact.
+
+    `depth` = 2: each bucket carries its TWO smallest slots (b1 <= b2 as
+    sorted pairs, merged block-by-block); extraction promotes b2 -> b1 on
+    the selected bucket. See module docstring for the recall math.
     """
     i = pl.program_id(0)
     g = pl.program_id(1)
     active = i * TQ < nv_ref[0]
+    deep = depth == 2
 
     @pl.when((g == 0) & active)
     def _init():
-        acc_ref[...] = jnp.full((TQ, LANES), SENTINEL, jnp.int32)
+        b1_ref[...] = jnp.full((TQ, L), SENTINEL, jnp.int32)
+        if deep:
+            b2_ref[...] = jnp.full((TQ, L), SENTINEL, jnp.int32)
+        if with_coords:
+            ax_ref[...] = jnp.zeros((TQ, L), jnp.float32)
+            ay_ref[...] = jnp.zeros((TQ, L), jnp.float32)
+            az_ref[...] = jnp.zeros((TQ, L), jnp.float32)
+            if deep:
+                ax2_ref[...] = jnp.zeros((TQ, L), jnp.float32)
+                ay2_ref[...] = jnp.zeros((TQ, L), jnp.float32)
+                az2_ref[...] = jnp.zeros((TQ, L), jnp.float32)
 
     @pl.when(active)
     def _scan():
@@ -117,9 +164,9 @@ def _knn_kernel(nv_ref, lo_ref, nb_ref, qx_ref, qy_ref, qz_ref, px_ref,
         row0 = g * rg
         lo = lo_ref[i, g]
         nb = nb_ref[i, g]
-        rb_iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, ROW_BLOCK, LANES), 1)
+        rb_iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, ROW_BLOCK, L), 1)
 
-        def packed_block(b):
+        def block(b):
             # r0 = (lo + b) * 8: a provable multiple of 8 for the sublane slice
             r0 = (lo + b) * ROW_BLOCK
             px = px_ref[pl.ds(r0, ROW_BLOCK), :][None]   # (1, RB, L)
@@ -132,81 +179,143 @@ def _knn_kernel(nv_ref, lo_ref, nb_ref, qx_ref, qy_ref, qz_ref, px_ref,
             # d2 >= 0, so its IEEE bits are a non-negative, order-preserving
             # int32 (Mosaic has no unsigned reductions)
             bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
-            return (bits & jnp.int32(~row_mask)) | (rb_iota + jnp.int32(row0) + r0)
+            packed = (bits & jnp.int32(~row_mask)) | (rb_iota + jnp.int32(row0) + r0)
+            return packed, (px, py, pz)
 
-        if not with_coords:
+        def block_top(b, want_coords):
+            """Block\'s smallest (and, if deep, second-smallest) packed value
+            per bucket, with the selected rows\' coords (1e10 literals: the
+            module-level BIG jnp scalar would be captured as a pallas
+            closure constant)."""
+            packed, (px, py, pz) = block(b)
+            r1 = jnp.min(packed, axis=1)                 # (TQ, L)
+            out = [r1, None, None, None, None, None, None, None]
+            hit1 = packed == r1[:, None, :] if (want_coords or deep) else None
+            if want_coords:
+                out[2] = jnp.min(jnp.where(hit1, px, 1e10), axis=1)
+                out[3] = jnp.min(jnp.where(hit1, py, 1e10), axis=1)
+                out[4] = jnp.min(jnp.where(hit1, pz, 1e10), axis=1)
+            if deep:
+                masked = jnp.where(hit1, SENTINEL, packed)
+                r2 = jnp.min(masked, axis=1)
+                out[1] = r2
+                if want_coords:
+                    hit2 = masked == r2[:, None, :]
+                    out[5] = jnp.min(jnp.where(hit2, px, 1e10), axis=1)
+                    out[6] = jnp.min(jnp.where(hit2, py, 1e10), axis=1)
+                    out[7] = jnp.min(jnp.where(hit2, pz, 1e10), axis=1)
+            return out
+
+        if not deep and not with_coords:
             def body(b, best):
-                return jnp.minimum(best, jnp.min(packed_block(b), axis=1))
+                return jnp.minimum(best, block_top(b, False)[0])
 
-            acc_ref[...] = jax.lax.fori_loop(0, nb, body, acc_ref[...])
-        else:
-            @pl.when(g == 0)
-            def _init_coords():
-                ax_ref[...] = jnp.zeros((TQ, LANES), jnp.float32)
-                ay_ref[...] = jnp.zeros((TQ, LANES), jnp.float32)
-                az_ref[...] = jnp.zeros((TQ, LANES), jnp.float32)
-
+            b1_ref[...] = jax.lax.fori_loop(0, nb, body, b1_ref[...])
+        elif not deep:
             def body(b, carry):
                 best, cx, cy, cz = carry
-                r0 = (lo + b) * ROW_BLOCK
-                packed = packed_block(b)
-                rowmin = jnp.min(packed, axis=1)             # (TQ, L)
-                hit = packed == rowmin[:, None, :]           # unique row
-                px = px_ref[pl.ds(r0, ROW_BLOCK), :][None]
-                py = py_ref[pl.ds(r0, ROW_BLOCK), :][None]
-                pz = pz_ref[pl.ds(r0, ROW_BLOCK), :][None]
-                # 1e10 literal (not the module-level BIG jnp scalar — that
-                # would be captured as a pallas closure constant)
-                selx = jnp.min(jnp.where(hit, px, 1e10), axis=1)
-                sely = jnp.min(jnp.where(hit, py, 1e10), axis=1)
-                selz = jnp.min(jnp.where(hit, pz, 1e10), axis=1)
-                upd = rowmin < best
-                return (jnp.where(upd, rowmin, best),
-                        jnp.where(upd, selx, cx),
-                        jnp.where(upd, sely, cy),
-                        jnp.where(upd, selz, cz))
+                r1, _, sx, sy, sz, _, _, _ = block_top(b, True)
+                upd = r1 < best
+                return (jnp.where(upd, r1, best),
+                        jnp.where(upd, sx, cx),
+                        jnp.where(upd, sy, cy),
+                        jnp.where(upd, sz, cz))
 
             best, cx, cy, cz = jax.lax.fori_loop(
                 0, nb, body,
-                (acc_ref[...], ax_ref[...], ay_ref[...], az_ref[...]))
-            acc_ref[...] = best
+                (b1_ref[...], ax_ref[...], ay_ref[...], az_ref[...]))
+            b1_ref[...] = best
             ax_ref[...] = cx
             ay_ref[...] = cy
             az_ref[...] = cz
+        else:
+            zc = jnp.zeros((TQ, L), jnp.float32)
+
+            def body(b, carry):
+                b1, b2, c1, c2 = carry
+                r1, r2, sx, sy, sz, s2x, s2y, s2z = \
+                    block_top(b, with_coords)
+                # merge two sorted pairs (b1<=b2, r1<=r2); packed values of
+                # distinct slots never tie (unique row id in the low bits)
+                t1 = r1 < b1
+                n1 = jnp.where(t1, r1, b1)
+                cand = jnp.where(t1, b1, r1)
+                tb = b2 < cand
+                m2 = jnp.where(tb, b2, cand)
+                tr = r2 < m2
+                n2 = jnp.where(tr, r2, m2)
+                if not with_coords:
+                    return n1, n2, c1, c2
+                n1c = tuple(jnp.where(t1, s, c) for s, c in
+                            zip((sx, sy, sz), c1))
+                candc = tuple(jnp.where(t1, c, s) for s, c in
+                              zip((sx, sy, sz), c1))
+                m2c = tuple(jnp.where(tb, c, cc) for c, cc in
+                            zip(c2, candc))
+                n2c = tuple(jnp.where(tr, s, m) for s, m in
+                            zip((s2x, s2y, s2z), m2c))
+                return n1, n2, n1c, n2c
+
+            c1 = (ax_ref[...], ay_ref[...], az_ref[...]) if with_coords \
+                else (zc, zc, zc)
+            c2 = (ax2_ref[...], ay2_ref[...], az2_ref[...]) if with_coords \
+                else (zc, zc, zc)
+            b1, b2, c1, c2 = jax.lax.fori_loop(
+                0, nb, body, (b1_ref[...], b2_ref[...], c1, c2))
+            b1_ref[...] = b1
+            b2_ref[...] = b2
+            if with_coords:
+                ax_ref[...], ay_ref[...], az_ref[...] = c1
+                ax2_ref[...], ay2_ref[...], az2_ref[...] = c2
 
     @pl.when((g == n_groups - 1) & active)
     def _extract():
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, LANES), 1)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, L), 1)
         kp_iota = jax.lax.broadcasted_iota(jnp.int32, (TQ, KP), 1)
+        zc = jnp.zeros((TQ, L), jnp.float32)
+        zs = jnp.full((TQ, L), SENTINEL, jnp.int32)
 
         def ext(j, carry):
-            best, vals, lanes, ox, oy, oz = carry
-            m = jnp.min(best, axis=1, keepdims=True)            # (TQ, 1)
-            is_m = best == m
-            lane = jnp.min(jnp.where(is_m, lane_iota, LANES), axis=1,
+            b1, b2, c1, c2, vals, lanes, ox, oy, oz = carry
+            m = jnp.min(b1, axis=1, keepdims=True)              # (TQ, 1)
+            is_m = b1 == m
+            lane = jnp.min(jnp.where(is_m, lane_iota, L), axis=1,
                            keepdims=True)
             sel = is_m & (lane_iota == lane)                    # one bucket
             vals = jnp.where(kp_iota == j, m, vals)
             lanes = jnp.where(kp_iota == j, lane, lanes)
             if with_coords:
-                hx = jnp.max(jnp.where(sel, ax_ref[...], -1e10), axis=1,
+                hx = jnp.max(jnp.where(sel, c1[0], -1e10), axis=1,
                              keepdims=True)
-                hy = jnp.max(jnp.where(sel, ay_ref[...], -1e10), axis=1,
+                hy = jnp.max(jnp.where(sel, c1[1], -1e10), axis=1,
                              keepdims=True)
-                hz = jnp.max(jnp.where(sel, az_ref[...], -1e10), axis=1,
+                hz = jnp.max(jnp.where(sel, c1[2], -1e10), axis=1,
                              keepdims=True)
                 ox = jnp.where(kp_iota == j, hx, ox)
                 oy = jnp.where(kp_iota == j, hy, oy)
                 oz = jnp.where(kp_iota == j, hz, oz)
-            # clear only the selected bucket: equal-distance slots in other
-            # buckets stay eligible for the next extraction round
-            best = jnp.where(sel, SENTINEL, best)
-            return best, vals, lanes, ox, oy, oz
+            # pop the selected bucket: depth-2 promotes its second entry,
+            # depth-1 empties it; other buckets stay eligible
+            if depth == 2:
+                b1 = jnp.where(sel, b2, b1)
+                b2 = jnp.where(sel, SENTINEL, b2)
+                if with_coords:
+                    c1 = tuple(jnp.where(sel, b_, a_) for a_, b_ in
+                               zip(c1, c2))
+            else:
+                b1 = jnp.where(sel, SENTINEL, b1)
+            return b1, b2, c1, c2, vals, lanes, ox, oy, oz
 
         zero = jnp.zeros((TQ, KP), jnp.float32)
-        init = (acc_ref[...], jnp.full((TQ, KP), SENTINEL, jnp.int32),
+        c1 = (ax_ref[...], ay_ref[...], az_ref[...]) if with_coords \
+            else (zc, zc, zc)
+        c2 = (ax2_ref[...], ay2_ref[...], az2_ref[...]) \
+            if (with_coords and depth == 2) else (zc, zc, zc)
+        init = (b1_ref[...], b2_ref[...] if depth == 2 else zs, c1, c2,
+                jnp.full((TQ, KP), SENTINEL, jnp.int32),
                 jnp.zeros((TQ, KP), jnp.int32), zero, zero, zero)
-        _, vals, lanes, ox, oy, oz = jax.lax.fori_loop(0, k, ext, init)
+        out = jax.lax.fori_loop(0, k, ext, init)
+        _, _, _, _, vals, lanes, ox, oy, oz = out
         vals_ref[...] = vals
         lanes_ref[...] = lanes
         if with_coords:
@@ -246,47 +355,53 @@ def _spatial_order(queries, cell: float, q_valid=None):
     return jnp.argsort(code)
 
 
-def _geometry(M: int):
-    """Static kernel geometry for an M-slot map."""
-    RM = -(-max(M, 1) // LANES)
+def _geometry(M: int, lanes: int | None = None):
+    """Static kernel geometry for an M-slot map at `lanes` buckets."""
+    L = pick_lanes(M) if lanes is None else lanes
+    RM = -(-max(M, 1) // L)
     RM = -(-RM // ROW_BLOCK) * ROW_BLOCK
     if RM > (1 << MAX_ROW_BITS):
         raise ValueError(f"map capacity {M} exceeds the packed-row budget "
-                         f"({(1 << MAX_ROW_BITS) * LANES} slots)")
+                         f"({(1 << MAX_ROW_BITS) * L} slots at L={L})")
     # rows the packed id must address, and the VMEM-resident group size
-    rg = min(RM, ROW_GROUP)
+    rg = _row_group(RM, L)
     RM = -(-RM // rg) * rg
     n_groups = RM // rg
     nbg = rg // ROW_BLOCK            # row blocks per group
     row_bits = max(8, (RM - 1).bit_length())
-    return RM, rg, n_groups, nbg, row_bits
+    return RM, rg, n_groups, nbg, row_bits, L
 
 
 class MapPlanes(NamedTuple):
-    """Loop-invariant map-side kernel inputs: the (RM, LANES) coordinate
+    """Loop-invariant map-side kernel inputs: the (RM, L) coordinate
     planes and per-ROW_BLOCK AABBs. The submap only changes when the map
     is updated (keyframes), but the matcher runs inside the ICP fori_loop —
     computing these per call re-executes them every round (XLA does not
     hoist invariants out of while bodies; see docs/PERFORMANCE.md). Build
     once per frame with `prepare_map` and pass to `bucketed_knn`."""
 
-    px: jax.Array            # (RM, LANES) f32, BIG where invalid/padding
+    px: jax.Array            # (RM, L) f32, BIG where invalid/padding
     py: jax.Array
     pz: jax.Array
     bmin: jax.Array | None   # (RM/ROW_BLOCK, 3) valid-slot block AABBs
     bmax: jax.Array | None
 
+    @property
+    def lanes(self) -> int:
+        return self.px.shape[1]
 
-def prepare_map(xyz, valid, with_blocks: bool = True) -> MapPlanes:
+
+def prepare_map(xyz, valid, with_blocks: bool = True,
+                lanes: int | None = None) -> MapPlanes:
     """Precompute the map-side kernel inputs (see MapPlanes)."""
     M = xyz.shape[0]
-    RM, _, _, _, _ = _geometry(M)
-    Mp = RM * LANES
+    RM, _, _, _, _, L = _geometry(M, lanes)
+    Mp = RM * L
 
     # invalid / padding slots get a BIG coordinate -> huge but finite d2
     def coord(c):
         p = jnp.where(valid, xyz[:, c], BIG)
-        return jnp.pad(p, (0, Mp - M), constant_values=BIG).reshape(RM, LANES)
+        return jnp.pad(p, (0, Mp - M), constant_values=BIG).reshape(RM, L)
 
     bmin = bmax = None
     if with_blocks:
@@ -295,7 +410,7 @@ def prepare_map(xyz, valid, with_blocks: bool = True) -> MapPlanes:
             p = jnp.where(valid[:, None], xyz, sign * jnp.inf)
             p = jnp.pad(p, ((0, Mp - M), (0, 0)),
                         constant_values=sign * jnp.inf)
-            p = p.reshape(RM // ROW_BLOCK, ROW_BLOCK * LANES, 3)
+            p = p.reshape(RM // ROW_BLOCK, ROW_BLOCK * L, 3)
             return jnp.min(p, axis=1) if sign > 0 else jnp.max(p, axis=1)
         bmin = bminmax(+1)                       # (NB, 3)
         bmax = bminmax(-1)
@@ -333,18 +448,20 @@ def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
         raise ValueError(f"k={k} exceeds the kernel output width {KP}")
     M = xyz.shape[0]
     Q = queries.shape[0]
-    RM, rg, n_groups, nbg, row_bits = _geometry(M)
+    L = prepared.lanes if prepared is not None else pick_lanes(M)
+    RM, rg, n_groups, nbg, row_bits = _geometry(M, L)[:5]
     row_mask = (1 << row_bits) - 1
-    Mp = RM * LANES
+    depth = _depth(k, L)
     Qp = -(-Q // TQ) * TQ
     T = Qp // TQ
 
     if prepared is None:
-        prepared = prepare_map(xyz, valid, with_blocks=prune_radius is not None)
+        prepared = prepare_map(xyz, valid,
+                               with_blocks=prune_radius is not None, lanes=L)
     px, py, pz = prepared.px, prepared.py, prepared.pz
-    if px.shape != (RM, LANES):
+    if px.shape != (RM, L):
         raise ValueError(f"prepared planes {px.shape} do not match the map "
-                         f"geometry ({RM}, {LANES})")
+                         f"geometry ({RM}, {L})")
 
     order = inv = None
     n_valid = jnp.int32(Q)
@@ -370,7 +487,7 @@ def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
         tmax = jnp.max(qt, axis=1)
         bmin, bmax = prepared.bmin, prepared.bmax
         if bmin is None:   # prepared without blocks but pruning requested
-            blocks = prepare_map(xyz, valid, with_blocks=True)
+            blocks = prepare_map(xyz, valid, with_blocks=True, lanes=L)
             bmin, bmax = blocks.bmin, blocks.bmax
         d = jnp.maximum(bmin[None] - tmax[:, None], tmin[:, None] - bmax[None])
         d = jnp.maximum(d, 0.0)
@@ -383,10 +500,14 @@ def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
         lo = jnp.where(any_hit, first, 0)
         nb = jnp.where(any_hit, last - first + 1, 0)
 
-    coord_scratch = (TQ, LANES) if with_coords else (8, 128)
+    dummy = (8, 128)
+    c_scr = (TQ, L) if with_coords else dummy
+    c2_scr = (TQ, L) if (with_coords and depth == 2) else dummy
+    b2_scr = (TQ, L) if depth == 2 else dummy
     vals, lanes, cx, cy, cz = pl.pallas_call(
         functools.partial(_knn_kernel, rg=rg, row_mask=row_mask, k=k,
-                          n_groups=n_groups, with_coords=with_coords),
+                          n_groups=n_groups, with_coords=with_coords,
+                          depth=depth, L=L),
         grid=(T, n_groups),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -395,9 +516,9 @@ def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
             pl.BlockSpec((TQ, 1), lambda i, g: (i, 0)),
             pl.BlockSpec((TQ, 1), lambda i, g: (i, 0)),
             pl.BlockSpec((TQ, 1), lambda i, g: (i, 0)),
-            pl.BlockSpec((rg, LANES), lambda i, g: (g, 0)),
-            pl.BlockSpec((rg, LANES), lambda i, g: (g, 0)),
-            pl.BlockSpec((rg, LANES), lambda i, g: (g, 0)),
+            pl.BlockSpec((rg, L), lambda i, g: (g, 0)),
+            pl.BlockSpec((rg, L), lambda i, g: (g, 0)),
+            pl.BlockSpec((rg, L), lambda i, g: (g, 0)),
         ],
         out_specs=(pl.BlockSpec((TQ, KP), lambda i, g: (i, 0)),) * 5,
         out_shape=(jax.ShapeDtypeStruct((Qp, KP), jnp.int32),
@@ -405,17 +526,21 @@ def bucketed_knn(xyz, valid, queries, k: int, prune_radius: float = None,
                    jax.ShapeDtypeStruct((Qp, KP), jnp.float32),
                    jax.ShapeDtypeStruct((Qp, KP), jnp.float32),
                    jax.ShapeDtypeStruct((Qp, KP), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((TQ, LANES), jnp.int32),
-                        pltpu.VMEM(coord_scratch, jnp.float32),
-                        pltpu.VMEM(coord_scratch, jnp.float32),
-                        pltpu.VMEM(coord_scratch, jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TQ, L), jnp.int32),
+                        pltpu.VMEM(b2_scr, jnp.int32),
+                        pltpu.VMEM(c_scr, jnp.float32),
+                        pltpu.VMEM(c_scr, jnp.float32),
+                        pltpu.VMEM(c_scr, jnp.float32),
+                        pltpu.VMEM(c2_scr, jnp.float32),
+                        pltpu.VMEM(c2_scr, jnp.float32),
+                        pltpu.VMEM(c2_scr, jnp.float32)],
         interpret=interpret,
     )(jnp.reshape(n_valid, (1,)), lo, nb, qx, qy, qz, px, py, pz)
     vals = vals[:Q, :k]
     lanes = lanes[:Q, :k]
 
     row = vals & jnp.int32(row_mask)
-    idx = jnp.minimum(row * LANES + lanes, M - 1)
+    idx = jnp.minimum(row * L + lanes, M - 1)
     # SENTINEL survives when a bucket was never scanned (pruned tile) or
     # k exceeds the populated buckets; its distance bits decode to NaN, so
     # mask it explicitly

@@ -206,3 +206,47 @@ def test_prepared_planes_flat_index_matches_xyz():
     np.testing.assert_array_equal(np.asarray(flat[:M])[v], np.asarray(xyz)[v])
     assert (np.asarray(flat[:M])[~v] == pallas_knn.BIG).all()
     assert (np.asarray(flat[M:]) == pallas_knn.BIG).all()
+
+
+def test_depth2_recall_beats_single_depth_bound():
+    """Narrow-lane maps run depth-2 buckets (two slots per bucket): recall
+    for k=10 must stay >= 0.99 — above the wide single-depth kernel's
+    ~0.957 expectation (module docstring math)."""
+    rng = np.random.default_rng(11)
+    M = 1 << 14                      # small map -> L=128, depth 2
+    assert pallas_knn.pick_lanes(M) == 128
+    assert pallas_knn._depth(10, 128) == 2
+    xyz = jnp.asarray(rng.uniform(-30, 30, (M, 3)).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(size=M) < 0.9)
+    queries = jnp.asarray(rng.uniform(-30, 30, (256, 3)).astype(np.float32))
+    k = 10
+    d2, idx = pallas_knn.bucketed_knn(xyz, valid, queries, k, interpret=True)
+    ed2, eidx = _exact(xyz, valid, queries, k)
+    idx, eidx = np.asarray(idx), np.asarray(eidx)
+    hits = sum(len(set(idx[i]) & set(eidx[i])) for i in range(len(idx)))
+    assert hits / idx.size >= 0.99, hits / idx.size
+    # ascending distances, valid rows
+    d2 = np.asarray(d2)
+    assert (np.diff(d2, axis=1) >= 0).all()
+    assert np.asarray(valid)[idx[np.isfinite(d2)]].all()
+
+
+def test_depth2_coords_match_rows():
+    """with_coords on the depth-2 path: every emitted coordinate must equal
+    xyz[idx] for found neighbors, including those promoted from a bucket's
+    second slot."""
+    rng = np.random.default_rng(12)
+    M = 4096
+    # clustered points force same-bucket collisions -> second-slot promotion
+    centers = rng.uniform(-10, 10, (40, 3))
+    pts = (centers[rng.integers(0, 40, M)] +
+           rng.normal(0, 0.3, (M, 3))).astype(np.float32)
+    xyz = jnp.asarray(pts)
+    valid = jnp.ones(M, bool)
+    queries = jnp.asarray(centers[:32].astype(np.float32))
+    d2, idx, nbr = pallas_knn.bucketed_knn(xyz, valid, queries, 10,
+                                           interpret=True, with_coords=True)
+    found = np.isfinite(np.asarray(d2))
+    ref = pts[np.asarray(idx)]
+    np.testing.assert_array_equal(np.asarray(nbr)[found], ref[found])
+    assert found.mean() == 1.0
