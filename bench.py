@@ -16,8 +16,28 @@ absolute scans/s), so vs_baseline = scans_per_sec / 10.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+_T0 = time.perf_counter()
+
+
+def _log(msg):
+    """Unconditional coarse progress on stderr: a timeout must leave
+    forensics about WHERE the run was (round-4 lesson: BENCH_r04 timed out
+    with zero output because all progress sat behind --verbose and the one
+    JSON line printed only at the very end)."""
+    print(f"# [{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _emit(record):
+    """Emit one COMPLETE JSON line now and flush. Called after every
+    milestone (primary config measured, roofline added, 64-beam added) so
+    an external timeout still leaves the latest complete measurement on
+    stdout; each line supersedes the previous one."""
+    print(json.dumps(record), flush=True)
 
 # public TPU v5e peaks (chip in this environment: "TPU v5 lite"):
 # 197 TFLOP/s bf16 MXU, 819 GB/s HBM. The f32 VPU peak is not published;
@@ -39,11 +59,11 @@ def _roofline(cfg, device_ms_per_frame, xplane, nprof):
     from lidarslam_tpu.config import Keypoint
     from lidarslam_tpu.utils import profiling
 
-    Q = cfg.extractor.max_keypoints
     rounds = cfg.localization_icp_max_iter
     flops = 0.0
     bytes_ = 0.0
     for t in cfg.used_types:
+        Q = cfg.extractor.kp_capacity(t)
         M = cfg.map_config(t).capacity
         flops += rounds * Q * M * 8.0
         bytes_ += rounds * (Q / 64.0) * M * 12.0
@@ -117,34 +137,58 @@ def _device_health():
         t0 = time.perf_counter()
         jax.block_until_ready(mm(a))
         dt_mm = (time.perf_counter() - t0) / iters
-        big = jnp.zeros((2 << 20,), jnp.float32)   # 8 MB
-        cp = jax.jit(lambda x: lax.fori_loop(0, 256, lambda i, c: c + 1.0, x))
+        # 64 MB: comfortably larger than the 16 MB VMEM, so every loop
+        # iteration provably streams the carry through HBM (an 8 MB carry
+        # can stay VMEM-resident and measure VMEM, not HBM, bandwidth)
+        big = jnp.zeros((16 << 20,), jnp.float32)
+        cp = jax.jit(lambda x: lax.fori_loop(0, 64, lambda i, c: c + 1.0, x))
         jax.block_until_ready(cp(big))
         t0 = time.perf_counter()
         jax.block_until_ready(cp(big))
-        dt_cp = (time.perf_counter() - t0) / 256
+        dt_cp = (time.perf_counter() - t0) / 64
         return {"device_matmul_tflops": round(2 * n**3 / dt_mm / 1e12, 1),
                 "device_hbm_gbps": round(2 * big.nbytes / dt_cp / 1e9, 0)}
     except Exception:
         return {}
 
 
-def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
-    import jax
-    import numpy as np
-    from lidarslam_tpu import Slam, SlamConfig
+def bench_config(rings, azimuth):
+    """The headline SlamConfig of one ring count. Keypoint budgets are
+    per-type: plane candidates outnumber edges 3-5x in structured scenes,
+    and a saturated budget degrades to even subsampling where the
+    reference keeps every labeled point (SSKE.cxx:575-589) — so planes get
+    2x the edge budget instead of inflating both."""
+    from lidarslam_tpu import SlamConfig
     from lidarslam_tpu.config import ExtractorConfig, MapConfig
-    from lidarslam_tpu.io import synthetic
 
     ring_cap = 1 << (azimuth - 1).bit_length()
     kp_cap = 2048 if rings <= 32 else 8192
-    cfg = SlamConfig(
+    return SlamConfig(
         extractor=ExtractorConfig(n_rings=rings, max_ring_points=ring_cap,
-                                  max_keypoints=kp_cap),
+                                  max_keypoints=kp_cap,
+                                  max_plane_keypoints=2 * kp_cap),
         edge_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
         plane_map=MapConfig(leaf_size=0.60, capacity=1 << 16),
         blob_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
     )
+
+
+def run_config(args, rings, azimuth, frames_n, warmup, profile_frames,
+               deadline=None):
+    """Measure one config. `deadline` (absolute perf_counter value) sheds
+    work gracefully: extra reps are dropped once past it (at least one
+    always runs) and the profile trace is skipped when fewer than 45 s
+    remain — a partial measurement beats rc-124 silence."""
+    import jax
+    import numpy as np
+    from lidarslam_tpu import Slam
+    from lidarslam_tpu.io import synthetic
+
+    def remaining():
+        return float("inf") if deadline is None else deadline - time.perf_counter()
+
+    cfg = bench_config(rings, azimuth)
+    kp_caps = [cfg.extractor.kp_capacity(t) for t in range(3)]
 
     n_total = warmup + args.reps * frames_n
     nprof = profile_frames if args.profile else 0
@@ -156,10 +200,8 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
     frames = synthetic.generate_sequence(n_frames=n_total + nprof, sensor=sensor,
                                          trajectory=synthetic.weaving_street_trajectory(),
                                          motion_distortion=False)
-    if args.verbose:
-        print(f"# [{rings}r] rendered {n_total} sweeps "
-              f"(~{len(frames[0]['xyz'])} pts each) in {time.perf_counter()-t0:.1f}s",
-              file=sys.stderr)
+    _log(f"[{rings}r] rendered {n_total + nprof} sweeps "
+         f"(~{len(frames[0]['xyz'])} pts each) in {time.perf_counter()-t0:.1f}s")
 
     slam = Slam(cfg)
     if args.stream:
@@ -168,23 +210,27 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
         # seeded segment restart (two warmup segments) — so the timed
         # section replays cached executables only
         t0 = time.perf_counter()
+        _log(f"[{rings}r] warmup x{warmup} starting (cold compile cache "
+             "pays multi-minute tunnel compiles here; warm cache replays)")
         half = max(warmup // 2, 1)
         for i in range(half):
             slam.add_frame_async(frames[i])
         slam.flush()
+        _log(f"[{rings}r] warmup segment 1 done "
+             f"({time.perf_counter()-t0:.1f}s)")
         for i in range(half, warmup):
             slam.add_frame_async(frames[i])
         rs = slam.flush()
-        if args.verbose and rs:
-            print(f"# [{rings}r] warmup x{warmup}: "
-                  f"{(time.perf_counter()-t0)*1000:.0f} ms "
-                  f"matches={rs[-1].get('n_matches')}", file=sys.stderr)
+        _log(f"[{rings}r] warmup x{warmup} done: "
+             f"{(time.perf_counter()-t0)*1000:.0f} ms total, "
+             f"matches={rs[-1].get('n_matches') if rs else None}")
     else:
         for i in range(warmup):
             r = slam.add_frame(frames[i])
             if args.verbose:
                 print(f"# [{rings}r] warmup {i}: {r.get('duration', 0)*1000:.0f} ms "
                       f"matches={r.get('n_matches')}", file=sys.stderr)
+        _log(f"[{rings}r] warmup x{warmup} done (sync mode)")
 
     # best-of-R repetitions: the host<->device tunnel's latency/bandwidth
     # fluctuates across minutes (measured 5.8..21 ms/frame wall at IDENTICAL
@@ -197,6 +243,9 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
     min_matches = None
     kp_hits = [False, False, False]   # per-type capacity hit on ANY frame
     for rep in range(args.reps):
+        if rep > 0 and remaining() < 45:
+            _log(f"[{rings}r] budget: shedding reps {rep}..{args.reps - 1}")
+            break
         lo = warmup + rep * per_rep
         t0 = time.perf_counter()
         if args.stream:
@@ -213,18 +262,17 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
         for i, r in enumerate(outs):
             if r.get("failure"):
                 n_failed += 1
-                print(f"# WARNING frame {lo + i} failed", file=sys.stderr)
+                _log(f"WARNING frame {lo + i} failed")
             m = r.get("n_matches")
             if m is not None:
                 min_matches = m if min_matches is None else min(min_matches, m)
             kc = r.get("kp_counts")
             if kc is not None:
                 for t in range(3):
-                    kp_hits[t] |= int(kc[t]) >= cfg.extractor.max_keypoints
+                    kp_hits[t] |= int(kc[t]) >= kp_caps[t]
         reps.append(per_rep / wall)
-        if args.verbose:
-            print(f"# [{rings}r] rep {rep}: wall {1000*wall/per_rep:.1f} "
-                  f"ms/frame, backend {jax.default_backend()}", file=sys.stderr)
+        _log(f"[{rings}r] rep {rep}: {1000*wall/per_rep:.1f} ms/frame "
+             f"({reps[-1]:.1f} scans/s), backend {jax.default_backend()}")
 
     scans_per_sec = max(reps)
     wall = per_rep / scans_per_sec
@@ -241,12 +289,20 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
               "kp_capacity_hits": {
                   t.name.lower(): kp_hits[int(t)]
                   for t in cfg.used_types}}
+    for t in cfg.used_types:
+        if kp_hits[int(t)]:
+            _log(f"WARNING [{rings}r] {t.name} keypoints saturated their "
+                 f"budget ({kp_caps[int(t)]}) on at least one frame — the "
+                 "extractor subsampled where the reference keeps all points")
 
     # device-busy fraction: trace a short continuation window and sum the
     # trace's "XLA Modules" occupancy (utils/profiling.py). The fraction is
     # taken against the UNTRACED steady-state wall (tracing itself inflates
     # host time); busy/wall < 1 means the chip idles on host work/transfers.
-    if args.profile:
+    if args.profile and remaining() < 45:
+        _log(f"[{rings}r] budget: skipping the profile trace "
+             f"({remaining():.0f}s left)")
+    elif args.profile:
         try:
             import tempfile
             from lidarslam_tpu.utils import profiling
@@ -269,9 +325,30 @@ def run_config(args, rings, azimuth, frames_n, warmup, profile_frames):
                 record["device_busy_frac"] = round(
                     dev_ms / (1000.0 * wall / frames_n), 3)
                 record["roofline"] = _roofline(cfg, dev_ms, xp, nprof)
+            _log(f"[{rings}r] profile done: device "
+                 f"{record.get('device_busy_ms_per_frame')} ms/frame, busy "
+                 f"frac {record.get('device_busy_frac')}")
         except Exception as e:  # never let profiling break the bench line
-            print(f"# [{rings}r] profiling skipped: {e}", file=sys.stderr)
+            _log(f"[{rings}r] profiling skipped: {e}")
     return record
+
+
+def warm_only(args):
+    """Compile-cache pre-warm: run every graph the full bench needs (both
+    configs' first-frame, windowed-scan, drain and reseed programs) with a
+    minimal timed section, so a subsequent full run replays cached
+    executables only. Run this after any kernel change, BEFORE the
+    driver's deadline-bound capture (round-4 lesson: a kernel rewrite
+    invalidated the cache and the driver's run burned its whole window on
+    tunnel recompiles)."""
+    args.reps = 1
+    args.profile = False
+    for rings in ([args.rings] if args.rings is not None else [16, 64]):
+        rec = run_config(args, rings, args.azimuth, 2 * 8 + 1, args.warmup,
+                         0)
+        _log(f"warm [{rings}r]: {rec['scans_per_sec']:.1f} scans/s "
+             f"(throwaway number, cache now warm)")
+    _log("warm-only done")
 
 
 def main():
@@ -300,6 +377,15 @@ def main():
                     "minutes at identical device time)")
     ap.add_argument("--skip-64beam", action="store_true",
                     help="measure only the primary VLP-16 config")
+    ap.add_argument("--warm-only", action="store_true",
+                    help="compile/warm every graph and exit (no measurement); "
+                    "run after kernel changes to pre-warm the persistent "
+                    "cache outside any deadline window")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", "480")),
+                    help="internal wall-clock budget [s]; reps/profile/64-beam "
+                    "shed gracefully as it runs out instead of overrunning an "
+                    "external timeout (BENCH_BUDGET_S env overrides)")
     args = ap.parse_args()
 
     import jax
@@ -307,40 +393,68 @@ def main():
         jax.config.update("jax_platform_name", "cpu")
     # persistent compilation cache: TPU compiles over the tunnel are slow,
     # so amortize them across bench invocations
-    import os
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if args.warm_only:
+        warm_only(args)
+        return
+
+    deadline = _T0 + args.budget
+    _log(f"bench start: budget {args.budget:.0f}s, "
+         f"configs {'[' + str(args.rings) + 'r]' if args.rings else '16r+64r'}")
+    _log("link/chip health stamps...")
     tunnel = _tunnel_health()
     tunnel.update(_device_health())
+    _log(f"health: {tunnel}")
+
+    def failures(record):
+        n = record.get("n_failed_frames", 0)
+        n += record.get("config_64beam", {}).get("n_failed_frames", 0)
+        return n
+
     if args.rings is not None:
         rec = run_config(args, args.rings, args.azimuth, args.frames,
-                         args.warmup, args.profile_frames)
+                         args.warmup, args.profile_frames, deadline=deadline)
         rec.update(tunnel)
         record = {"metric": "scans_per_sec", "value": rec.pop("scans_per_sec"),
                   "unit": "scans/s"}
         record["vs_baseline"] = round(record["value"] / 10.0, 3)
         record.update(rec)
-        print(json.dumps(record))
-        return
+        _emit(record)
+        sys.exit(1 if failures(record) else 0)
 
-    # both headline configs, one JSON line
+    # both headline configs; a complete JSON line after every milestone
+    # (the last line is the full record)
     rec16 = run_config(args, 16, args.azimuth, args.frames, args.warmup,
-                       args.profile_frames)
+                       args.profile_frames, deadline=deadline)
     record = {"metric": "scans_per_sec", "value": rec16.pop("scans_per_sec"),
               "unit": "scans/s"}
     record["vs_baseline"] = round(record["value"] / 10.0, 3)
     record.update(rec16)
     record.update(tunnel)
+    _emit(record)
     if not args.skip_64beam:
-        # KITTI-class secondary config: fewer timed frames (device-bound,
-        # ~5x the per-frame work)
-        rec64 = run_config(args, 64, args.azimuth, max(args.frames // 2, 30),
-                           args.warmup, args.profile_frames)
-        record["config_64beam"] = rec64
-        record["vs_baseline_64beam"] = round(rec64["scans_per_sec"] / 10.0, 3)
-    print(json.dumps(record))
+        left = deadline - time.perf_counter()
+        if left < 90:
+            _log(f"budget: skipping the 64-beam config ({left:.0f}s left)")
+        else:
+            # KITTI-class secondary config: fewer timed frames (device-bound,
+            # ~5x the per-frame work)
+            rec64 = run_config(args, 64, args.azimuth,
+                               max(args.frames // 2, 30), args.warmup,
+                               args.profile_frames, deadline=deadline)
+            record["config_64beam"] = rec64
+            record["vs_baseline_64beam"] = round(rec64["scans_per_sec"] / 10.0, 3)
+            _emit(record)
+    _log(f"bench done in {time.perf_counter() - _T0:.0f}s")
+    # robustness gate: a nonzero exit makes lost-tracker frames a
+    # machine-checked failure (the throughput of a lost tracker is not a
+    # valid number) — the JSON line above still carries the full record
+    if failures(record):
+        _log(f"FAILING: {failures(record)} failed frame(s)")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -106,6 +106,15 @@ class ExtractorConfig:
     n_rings: int = 16          # rows of the range image (max laser rings)
     max_ring_points: int = 2048  # columns of the range image (max firings/ring)
     max_keypoints: int = 4096  # compacted keypoint capacity per type
+    # per-type overrides of max_keypoints (0 = use max_keypoints). The
+    # reference keeps EVERY labeled point (SSKE.cxx:575-589); here the
+    # capacity is a static shape, and plane candidates outnumber edges
+    # ~3-5x in structured scenes — per-type budgets avoid both plane
+    # saturation (which degrades to even subsampling) and paying the
+    # matcher's Q-proportional device cost for an oversized edge budget.
+    max_edge_keypoints: int = 0
+    max_plane_keypoints: int = 0
+    max_blob_keypoints: int = 0
 
     # --- algorithmic parameters (reference defaults) ---
     neighbor_width: int = 4
@@ -126,6 +135,12 @@ class ExtractorConfig:
     nms_rounds: int = 8
     # 1 blob keypoint every `blob_stride` points (SSKE.cxx:568)
     blob_stride: int = 3
+
+    def kp_capacity(self, t) -> int:
+        """Static keypoint capacity of one type (EDGE/PLANE/BLOB int)."""
+        caps = (self.max_edge_keypoints, self.max_plane_keypoints,
+                self.max_blob_keypoints)
+        return caps[int(t)] or self.max_keypoints
 
 
 @dataclass(frozen=True)

@@ -26,6 +26,17 @@ class Box:
     lo: np.ndarray  # (3,)
     hi: np.ndarray  # (3,)
     intensity: float = 40.0
+    # world-frame velocity [m/s]; a non-None value makes this a MOVING
+    # object (vehicle/pedestrian analog): the box rigidly translates by
+    # velocity * t, the substrate for `min_frames_per_voxel` moving-object
+    # rejection scenarios (RollingGrid.cxx:362-442 semantics)
+    velocity: np.ndarray = None
+
+    def at(self, t: float) -> "Box":
+        if self.velocity is None:
+            return self
+        d = np.asarray(self.velocity, float) * t
+        return Box(self.lo + d, self.hi + d, self.intensity)
 
 
 @dataclass
@@ -157,7 +168,7 @@ def render_sweep(world: World, sensor: SensorModel, pose_at, t_start: float, see
     t_hit = _ray_ground(origins, dirs_world, world.ground_z)
     inten = np.full((R, A), world.ground_intensity)
     for box in world.boxes:
-        tb = _ray_box(origins, dirs_world, box)
+        tb = _ray_box(origins, dirs_world, box.at(t_start))
         closer = tb < t_hit
         inten = np.where(closer, box.intensity, inten)
         t_hit = np.minimum(t_hit, tb)

@@ -14,8 +14,9 @@ Writers:
   cell per point (how LidarView renders maps/keypoints).
 - `write_trajectory_vtp(path, slam_or_arrays)`: the trajectory port — a
   polyline through the poses carrying Time, Orientation(Quaternion) in
-  wxyz order (this engine's convention — note the reference emits xyzw),
-  AxisAngle and the row-major 36-float Covariance arrays (vtkSlam
+  wxyz order (matching the reference's trajectory output: vtkSlam.cxx
+  :643-644 also inserts w,x,y,z — only its ROS odometry messages use
+  xyzw), AxisAngle and the row-major 36-float Covariance arrays (vtkSlam
   trajectory arrays parity).
 
 A minimal reader (`read_vtp`) round-trips what these writers emit (tests);

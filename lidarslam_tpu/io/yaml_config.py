@@ -146,7 +146,9 @@ def load_config(path=None, text=None, tpu_overrides=None) -> SlamConfig:
         if src in ke:
             ekw[dst] = ke[src]
     tpu = tree.get("tpu", {})
-    for src in ("n_rings", "max_ring_points", "max_keypoints"):
+    for src in ("n_rings", "max_ring_points", "max_keypoints",
+                "max_edge_keypoints", "max_plane_keypoints",
+                "max_blob_keypoints"):
         if src in tpu:
             ekw[src] = int(tpu[src])
     kw["extractor"] = dataclasses.replace(base.extractor, **ekw)

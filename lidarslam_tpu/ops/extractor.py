@@ -235,11 +235,10 @@ def extract_keypoints(ri: RangeImage, azimuthal_resolution, cfg: ExtractorConfig
         "point_validity": point_valid,
     }
 
-    K = cfg.max_keypoints
     return ExtractionResult(
-        edges=_compact(ri, label_edge, K),
-        planes=_compact(ri, label_plane, K),
-        blobs=_compact(ri, label_blob, K),
+        edges=_compact(ri, label_edge, cfg.kp_capacity(0)),
+        planes=_compact(ri, label_plane, cfg.kp_capacity(1)),
+        blobs=_compact(ri, label_blob, cfg.kp_capacity(2)),
         debug=debug,
     )
 

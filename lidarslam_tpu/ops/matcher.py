@@ -116,9 +116,12 @@ def _knn(index: SubmapView, world, k, params: MatchingConfig, geom=None,
     # gate are skipped on the Pallas path — any dropped neighbor would have
     # been rejected by the `near` check below anyway. Neighbor coordinates
     # come straight out of the kernel (with_coords): the post-kernel xyz
-    # gather — whether from the HBM map table or the kernel's plane
-    # operands — measured 8.1 ms/frame at 64-beam scale (round-4 profile;
-    # XLA TPU gathers run ~20 ns/row regardless of source layout).
+    # gather measured 8.1 ms/FRAME at 64-beam scale (round-4 profile) —
+    # that is the SUM over 2 types x 3 ICP rounds of (Q=8192, k=10)
+    # gathers, ~490k rows/frame at XLA-TPU's ~20 ns/gather-row,
+    # independent of whether the source was the HBM map table or the
+    # kernel's VMEM plane operands (a single plane-operand gather is only
+    # ~0.13 ms — it is the per-frame multiplicity that made it hot).
     d2, idx, nbr = brute_knn(index, world, k,
                              prune_radius=float(params.max_neighbors_distance),
                              q_valid=q_valid, prepared=prepared,

@@ -168,11 +168,12 @@ def extract_sharded(ri: RangeImage, az_res, cfg: SlamConfig, axis_name,
     import dataclasses
 
     ecfg = cfg.extractor
-    R, K = ecfg.n_rings, ecfg.max_keypoints
-    if R % n_shards or K % n_shards:
+    R = ecfg.n_rings
+    caps = tuple(ecfg.kp_capacity(i) for i in range(3))
+    if R % n_shards or any(K % n_shards for K in caps):
         raise ValueError(
-            f"shard_extraction needs n_rings ({R}) and max_keypoints ({K}) "
-            f"divisible by the mesh size ({n_shards})")
+            f"shard_extraction needs n_rings ({R}) and every keypoint "
+            f"capacity ({caps}) divisible by the mesh size ({n_shards})")
     rows = R // n_shards
     start = jax.lax.axis_index(axis_name) * rows
 
@@ -181,11 +182,14 @@ def extract_sharded(ri: RangeImage, az_res, cfg: SlamConfig, axis_name,
 
     ri_s = RangeImage(xyz=sl(ri.xyz), intensity=sl(ri.intensity),
                       time=sl(ri.time), valid=sl(ri.valid))
-    ecfg_s = dataclasses.replace(ecfg, n_rings=rows,
-                                 max_keypoints=K // n_shards)
+    ecfg_s = dataclasses.replace(
+        ecfg, n_rings=rows, max_keypoints=ecfg.max_keypoints // n_shards,
+        max_edge_keypoints=ecfg.max_edge_keypoints // n_shards,
+        max_plane_keypoints=ecfg.max_plane_keypoints // n_shards,
+        max_blob_keypoints=ecfg.max_blob_keypoints // n_shards)
     ext = extractor.extract_keypoints(ri_s, az_res, ecfg_s)
     out = []
-    for kp in (ext.edges, ext.planes, ext.blobs):
+    for K, kp in zip(caps, (ext.edges, ext.planes, ext.blobs)):
         kp = kp._replace(ring=jnp.where(kp.valid, kp.ring + start, kp.ring))
         g = jax.tree.map(lambda a: jax.lax.all_gather(a, axis_name), kp)
         flat = Keypoints(
@@ -673,11 +677,11 @@ def init_stream_state(cfg: SlamConfig, map_cfgs,
                       sharded: bool = False) -> StreamState:
     from lidarslam_tpu.ops.frame import Keypoints as _KP
 
-    cap = cfg.extractor.max_keypoints
     return StreamState(
         maps=tuple(voxel_map.VoxelMap.empty(map_cfgs[i]) if cfg.use_keypoints(Keypoint(i))
                    else None for i in range(3)),
-        prev_keypoints=tuple(_KP.empty(cap) for _ in range(3)),
+        prev_keypoints=tuple(_KP.empty(cfg.extractor.kp_capacity(i))
+                             for i in range(3)),
         pose=jnp.zeros(6), prev_pose=jnp.zeros(6),
         t_cur=jnp.zeros(()), t_prev=jnp.zeros(()),
         kf_pose=jnp.zeros(6), kf_counter=jnp.zeros((), jnp.int32),

@@ -102,19 +102,31 @@ def _pose_msg(out) -> dict:
             "is_keyframe": bool(out.is_keyframe)}
 
 
+# SlamCommand ids the dispatch accepts (LidarSlamNode.cxx:244-349 /
+# Slam.execute_command) — used to reject unknown ids at validation time,
+# before any engine state is touched
+_KNOWN_COMMANDS = frozenset({0, 2, 4, 8, 9, 10, 16, 17, 18})
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self):  # one client session
         slam = self.server.slam
         lock = self.server.slam_lock
         sock = self.request
-        # Poses are routed per client: this handler only collects outputs
-        # for stamps IT submitted, so a second connection (e.g. a map
-        # viewer) never receives another client's trajectory.
+        # Poses are routed per client by GLOBAL FRAME INDEX: this handler
+        # registers the engine frame index each of ITS frames will get at
+        # submission time (under the lock, so the index arithmetic is
+        # race-free), and only collects matching outputs — a second
+        # connection (e.g. a map viewer) never receives another client's
+        # trajectory, identical stamps across clients cannot cross-route,
+        # and tokens are discarded on delivery (bounded memory over
+        # long-lived connections).
         pending = []
-        my_stamps = set()
+        my_frames = set()
 
         def _on_output(out):
-            if float(out.stamp) in my_stamps:
+            if out.frame_index in my_frames:
+                my_frames.discard(out.frame_index)
                 pending.append(out)
 
         unsub = slam.subscribe(_on_output)
@@ -127,29 +139,65 @@ class _Handler(socketserver.BaseRequestHandler):
                 t = header.get("type")
                 reply = None          # (header, payload) sent AFTER poses so
                 done = False          # a client awaiting the ack sees every
-                try:                  # pose of the frames the op flushed
+                f = None              # pose of the frames the op flushed
+                # request decode/validation: errors here touched no engine
+                # state -> reply and keep the session alive
+                try:
+                    if t == "frame":
+                        f = decode_frame(header, payload)
+                    elif t == "command":
+                        c = int(header["command"])
+                        if c not in _KNOWN_COMMANDS:
+                            raise ValueError(f"unknown SLAM command {c}")
+                        header["command"] = c
+                    elif t == "get_map":
+                        from lidarslam_tpu.config import Keypoint
+                        kpt = Keypoint(int(header.get("keypoint", 1)))
+                        if kpt not in slam.cfg.used_types:
+                            raise ValueError(f"keypoint type {kpt.name} "
+                                             "unused in this configuration")
+                        header["keypoint"] = kpt
+                    elif t not in ("flush", "bye"):
+                        raise ValueError(f"unknown type {t!r}")
+                except Exception as exc:
+                    _send(sock, {"type": "error",
+                                 "message": f"{type(exc).__name__}: {exc}"})
+                    continue
+                # engine ops: an exception mid-mutation (add_frame,
+                # execute_command) can leave the Slam/stream state partially
+                # updated — log it server-side, tell the client, and CLOSE
+                # the session rather than silently serving from a possibly
+                # inconsistent engine.
+                try:
                     with lock:
                         if t == "frame":
-                            f = decode_frame(header, payload)
-                            my_stamps.add(float(f["stamp"]))
                             if self.server.stream:
-                                slam.add_frame_async(f)
+                                # streaming: output arrives at flush; global
+                                # index = flushed frames + enqueued-this-
+                                # segment (both only advance under the lock)
+                                idx = slam.add_frame_async(f)
+                                if idx >= 0:
+                                    my_frames.add(slam.n_frames + idx)
                             else:
-                                slam.add_frame(f)
+                                # sync: the subscriber fires inside
+                                # add_frame, so register the index first and
+                                # roll back if the frame was skipped
+                                my_frames.add(slam.n_frames)
+                                r = slam.add_frame(f)
+                                if r.get("skipped"):
+                                    my_frames.discard(slam.n_frames)
                         elif t == "flush":
                             slam.flush()
                             reply = ({"type": "flushed",
                                       "n_frames": int(slam.n_frames)}, b"")
                         elif t == "command":
-                            slam.execute_command(int(header["command"]),
+                            slam.execute_command(header["command"],
                                                  header.get("arg", ""))
                             reply = ({"type": "ok"}, b"")
                         elif t == "get_map":
-                            from lidarslam_tpu.config import Keypoint
-
                             slam.flush()
                             pts, inten, _, _ = slam.get_map_points(
-                                Keypoint(int(header.get("keypoint", 1))))
+                                header["keypoint"])
                             pl = (np.asarray(pts, np.float32).tobytes()
                                   + np.asarray(inten, np.float32).tobytes())
                             reply = ({"type": "map", "n": len(pts),
@@ -157,12 +205,12 @@ class _Handler(socketserver.BaseRequestHandler):
                         elif t == "bye":
                             slam.flush()
                             done = True
-                        else:
-                            reply = ({"type": "error",
-                                      "message": f"unknown type {t!r}"}, b"")
-                except Exception as exc:  # bad request -> protocol error,
-                    reply = ({"type": "error",  # session stays alive
+                except Exception as exc:
+                    import traceback
+                    traceback.print_exc()
+                    reply = ({"type": "error", "fatal": True,
                               "message": f"{type(exc).__name__}: {exc}"}, b"")
+                    done = True
                 # drain per-frame outputs accumulated by the subscriber
                 with lock:
                     outs, pending[:] = list(pending), []

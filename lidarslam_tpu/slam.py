@@ -128,10 +128,12 @@ class Slam:
 
             from lidarslam_tpu.parallel import sharded as sharded_mod
             n = mesh.devices.size
-            if cfg.extractor.max_keypoints % n:
-                raise ValueError(
-                    f"extractor.max_keypoints ({cfg.extractor.max_keypoints}) "
-                    f"must be divisible by the mesh size ({n})")
+            for t in cfg.used_types:
+                if cfg.extractor.kp_capacity(t) % n:
+                    raise ValueError(
+                        f"{t.name} keypoint capacity "
+                        f"({cfg.extractor.kp_capacity(t)}) must be divisible "
+                        f"by the mesh size ({n})")
             if self.shard_maps:
                 for k in cfg.used_types:
                     if self.map_cfgs[k].capacity % n:
@@ -259,8 +261,8 @@ class Slam:
         self._cache_stale = np.bool_(True)
 
     def _empty_keypoints(self):
-        cap = self.cfg.extractor.max_keypoints
-        return tuple(Keypoints.empty(cap) for _ in range(3))
+        return tuple(Keypoints.empty(self.cfg.extractor.kp_capacity(i))
+                     for i in range(3))
 
     def _reshard_maps(self):
         """Repack host-built maps into slab layout for the shard-maps
@@ -703,8 +705,8 @@ class Slam:
             dt = float(f["stamp"]) - stamp
             for i, kp in enumerate((ext.edges, ext.planes, ext.blobs)):
                 per_type[i].append(transform_keypoints(kp, pose6, dt))
-        cap = cfg.extractor.max_keypoints
-        return tuple(merge_keypoints(per_type[i], cap) for i in range(3))
+        return tuple(merge_keypoints(per_type[i], cfg.extractor.kp_capacity(i))
+                     for i in range(3))
 
     def add_frames_async(self, frames) -> int:
         """Streaming multi-LiDAR: enqueue one synchronized multi-device
@@ -824,11 +826,12 @@ class Slam:
         self._device_keypoints = res.keypoints
         self.current_keypoints = {Keypoint(i): res.keypoints[i] for i in range(3)}
         if cfg.verbosity >= 1:
-            cap = cfg.extractor.max_keypoints
             for t in cfg.used_types:
+                cap = cfg.extractor.kp_capacity(t)
                 if int(u["kp_counts"][int(t)]) >= cap:
                     self._log(f"{t.name} keypoints hit capacity {cap}; "
-                              "raise extractor.max_keypoints for this sensor")
+                              "raise the extractor keypoint budget for "
+                              "this sensor")
         self.current_warp = res.warp
         self.failure = bool(failed)
         self.total_matched_keypoints = int(total)

@@ -113,6 +113,72 @@ def main():
         print(f"| {name} | {dist:.1f} | {ate.rmse:.3f} | {ate.max:.3f} "
               f"| {rpe_t.mean:.4f} | {rpe_r.mean:.3f} | {failed} |")
 
+    # ---- moving-object rejection (min_frames_per_voxel) end to end ----
+    # A 2.5 x 1.2 x 1.6 m box (vehicle analog) crosses the street at 4 m/s
+    # while the sensor drives toward it. `min_frames_per_voxel=2` must (a)
+    # keep its transient returns out of the matching submaps AND the clean
+    # map (RollingGrid.cxx:362-442 + Get(clean) semantics) while (b)
+    # leaving the trajectory unchanged — rejection must not starve the
+    # tracker of static structure.
+    if not args.only_pgo:
+        world = synthetic.default_world(seed=0)
+        world.boxes.append(synthetic.Box(
+            lo=np.array([14.0, -9.0, 0.0]), hi=np.array([16.5, -7.8, 1.6]),
+            intensity=70.0, velocity=np.array([0.0, 4.0, 0.0])))
+        mv_frames = synthetic.generate_sequence(
+            n_frames=min(40, args.frames * 2), world=world,
+            motion_distortion=False,
+            trajectory=synthetic.weaving_street_trajectory(weave_amp=1.0))
+
+        def mover_contamination(slam):
+            """Clean map points inside the mover's swept corridor band
+            (static geometry there: ground below z=0.1 and a few thin
+            cylinders, both excluded)."""
+            n = 0
+            for k in slam.cfg.used_types:
+                xyz = slam.get_map_points(k, clean=True)[0]
+                m = ((xyz[:, 0] > 13.5) & (xyz[:, 0] < 17.0)
+                     & (np.abs(xyz[:, 1]) < 5.5)
+                     & (xyz[:, 2] > 0.1) & (xyz[:, 2] < 2.0))
+                pts = xyz[m]
+                for cyl in world.cylinders:
+                    if 12.5 < cyl.center[0] < 18.0:
+                        d = np.linalg.norm(pts[:, :2] - cyl.center, axis=1)
+                        pts = pts[d > cyl.radius + 0.5]
+                n += len(pts)
+            return n
+
+        mv_rows = []
+        for label, mfpv in (("filter off (min_frames_per_voxel=0)", 0),
+                            ("filter on  (min_frames_per_voxel=2)", 2)):
+            cfg = cfg16()
+            cfg = dataclasses.replace(
+                cfg,
+                edge_map=dataclasses.replace(cfg.edge_map,
+                                             min_frames_per_voxel=mfpv),
+                plane_map=dataclasses.replace(cfg.plane_map,
+                                              min_frames_per_voxel=mfpv),
+                blob_map=dataclasses.replace(cfg.blob_map,
+                                             min_frames_per_voxel=mfpv))
+            slam = Slam(cfg)
+            gt0 = mv_frames[0]["gt_pose"]
+            est, gt, failed = [], [], 0
+            for f in mv_frames:
+                r = slam.add_frame(f)
+                failed += int(r.get("failure", False))
+                est.append(r["pose"])
+                gt.append(se3.hmat_inverse(gt0) @ f["gt_pose"])
+            ate = evaluation.absolute_trajectory_error(est, gt, align=False)
+            mv_rows.append((label, ate.rmse, mover_contamination(slam), failed))
+            print(f"# done: moving object, {label}", file=sys.stderr)
+        print()
+        print("| Moving-object scenario (box crossing at 4 m/s, "
+              f"{len(mv_frames)} fr) | ATE rmse [m] | mover points in clean "
+              "map | failures |")
+        print("|---|---|---|---|")
+        for label, rmse, contam, failed in mv_rows:
+            print(f"| {label} | {rmse:.3f} | {contam} | {failed} |")
+
     # ---- loop-closure-style correction: PGO with GPS priors cuts ATE ----
     # (the reference's GPS/SLAM calibration + pose-graph use case,
     # ros_wrapping command 2/3; tied to tests/test_posegraph.py).

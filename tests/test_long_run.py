@@ -58,7 +58,8 @@ def test_two_hundred_frames_64beam_zero_failures():
         trajectory=synthetic.weaving_street_trajectory())
     cfg = SlamConfig(
         extractor=ExtractorConfig(n_rings=64, max_ring_points=2048,
-                                  max_keypoints=8192),
+                                  max_keypoints=8192,
+                                  max_plane_keypoints=16384),
         edge_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
         plane_map=MapConfig(leaf_size=0.60, capacity=1 << 16),
         blob_map=MapConfig(leaf_size=0.30, capacity=1 << 16))
