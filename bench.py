@@ -154,19 +154,24 @@ def _device_health():
 
 def bench_config(rings, azimuth):
     """The headline SlamConfig of one ring count. Keypoint budgets are
-    per-type: plane candidates outnumber edges 3-5x in structured scenes,
-    and a saturated budget degrades to even subsampling where the
-    reference keeps every labeled point (SSKE.cxx:575-589) — so planes get
-    2x the edge budget instead of inflating both."""
+    per-type: plane candidates outnumber edges 3-5x in structured scenes
+    (measured on the bench world: 3241 planes at VLP-16, 13229 at
+    64-beam), and a saturated budget degrades to even subsampling where
+    the reference keeps every labeled point (SSKE.cxx:575-589) — so planes
+    get 2x the edge budget instead of inflating both. The k-NN kernel
+    skips dead query tiles, so the unfilled tail of a budget is ~free;
+    the real device cost is proportional to LIVE keypoints.
+    BENCH_PLANE_FACTOR=1 reverts to the uniform budget (A/B harness)."""
     from lidarslam_tpu import SlamConfig
     from lidarslam_tpu.config import ExtractorConfig, MapConfig
 
+    factor = int(os.environ.get("BENCH_PLANE_FACTOR", "2"))
     ring_cap = 1 << (azimuth - 1).bit_length()
     kp_cap = 2048 if rings <= 32 else 8192
     return SlamConfig(
         extractor=ExtractorConfig(n_rings=rings, max_ring_points=ring_cap,
                                   max_keypoints=kp_cap,
-                                  max_plane_keypoints=2 * kp_cap),
+                                  max_plane_keypoints=factor * kp_cap),
         edge_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
         plane_map=MapConfig(leaf_size=0.60, capacity=1 << 16),
         blob_map=MapConfig(leaf_size=0.30, capacity=1 << 16),

@@ -71,12 +71,18 @@ def compute_transform_offset(from_positions, to_positions, no_roll=False,
     T[:3, :3] = R0
     T[:3, 3] = dst[0] - R0 @ src[0]
 
+    # nearest-neighbor distances in BLAS form: ||a-b||^2 = ||a||^2 + ||b||^2
+    # - 2 a.b, one (N, M) GEMM per iteration instead of an (N, M, 3)
+    # broadcast temp (the naive form cost ~10 s at 4096 poses — it was the
+    # whole "PGO scaling" wall, not the graph solve)
+    dst_n2 = np.sum(dst * dst, axis=1)
     prev_err = np.inf
     for _ in range(max_iter):
         moved = src @ T[:3, :3].T + T[:3, 3]
-        d2 = np.sum((moved[:, None, :] - dst[None, :, :]) ** 2, axis=-1)
+        d2 = (np.sum(moved * moved, axis=1)[:, None] + dst_n2[None, :]
+              - 2.0 * (moved @ dst.T))
         nn = np.argmin(d2, axis=1)
-        err = float(np.mean(d2[np.arange(len(src)), nn]))
+        err = float(np.mean(np.maximum(d2[np.arange(len(src)), nn], 0.0)))
         T_new = _kabsch(src, dst[nn])
         if no_roll:
             T_new = _remove_roll(T_new)

@@ -470,11 +470,14 @@ def process_keypoints(
             m = maps[ti]
             prior = m.overflow
             m = m._replace(overflow=jnp.zeros((), jnp.int32))
-            # max_hops=2: one frame's roll is <= 2 voxels in practice, and a
-            # voxel spans res/leaf leaves vs a slab's n_leaf/n — 2 hops cover
-            # every non-teleport motion (leftovers land in overflow, visible)
+            # adaptive migration (max_hops=None): rolls re-center the
+            # window on the keypoint bbox, so multi-voxel offsets are
+            # normal — the while_loop hops exactly as many times as the
+            # farthest migrant needs and costs one key scan + psum when
+            # nothing migrates (a fixed 2-hop unroll dropped points on
+            # ordinary re-centerings)
             m = sharded_map.shard_roll(m, offset, map_cfgs[ti], axis_name,
-                                       n_shards, max_hops=2)
+                                       n_shards)
             m = sharded_map.shard_add_points(m, shifted, kp.intensity, kp.time,
                                              kp.valid, inp.stamp, map_cfgs[ti],
                                              False, axis_name, n_shards)

@@ -20,11 +20,12 @@ both map memory and the per-frame hot loops scale with device count:
   1/N scan saved.
 - **Roll** (`shard_roll`): the window shift rebases every shard locally;
   points whose new kx crosses a slab boundary migrate to the neighbor
-  device over `ppermute` rings (one hop per slab crossed, `max_hops`
-  static). Migrants carry their full attributes (count, fixed flag, stamp)
-  — a roll must not reset the moving-object filter. Residual migrants
-  beyond `max_hops` slabs (a teleport-scale jump in one frame) are dropped
-  and counted in `overflow`.
+  device over `ppermute` rings (one hop per slab crossed). By default the
+  hop count is data-adaptive (a `lax.while_loop` runs until no emigrant
+  remains — exact for any roll magnitude); an explicit `max_hops` unrolls
+  a fixed count and drops the leftovers into `overflow`
+  (bounded-latency mode). Migrants carry their full attributes (count,
+  fixed flag, stamp) — a roll must not reset the moving-object filter.
 
 All functions are designed to run INSIDE `shard_map` with the local
 `VoxelMap` shard (leading dim = capacity / n_shards); they compose with the
@@ -152,21 +153,33 @@ def _empty_like(local: VoxelMap) -> VoxelMap:
 
 
 def shard_roll(local: VoxelMap, vox_offset, cfg: MapConfig, axis_name,
-               n_shards: int, max_hops: int = 1) -> VoxelMap:
+               n_shards: int, max_hops=None) -> VoxelMap:
     """RollingGrid::Roll over the sharded map: rebase locally, then migrate
-    boundary-crossing points over ppermute rings (`max_hops` hops per
-    direction; one hop moves emigrants one slab over, passing-through
-    points keep travelling on later hops). Leftover far-migrants are
-    dropped into `overflow`."""
+    boundary-crossing points over ppermute rings (one hop moves emigrants
+    one slab over; passing-through points keep travelling on later hops).
+
+    `max_hops=None` (default): data-adaptive — hops repeat under a
+    `lax.while_loop` until no device holds an emigrant (each hop moves
+    every emigrant monotonically toward its owner, so <= n_shards - 1
+    iterations always suffice), making ANY roll magnitude exact. Rolls are
+    re-centerings of the window on the keypoint bbox, whose midpoint moves
+    with view content, not just sensor motion — multi-voxel rolls are
+    normal, not teleports (a fixed 2-hop unroll dropped 216 points on the
+    first roll of the tight-window dryrun). The loop costs one key scan +
+    psum when nothing migrates. An explicit int `max_hops` unrolls exactly
+    that many hops and drops the leftovers into `overflow`
+    (bounded-latency mode)."""
     local = voxel_map.roll_by_offset(local, vox_offset, cfg)
     perm_up = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     perm_dn = [(i, (i - 1) % n_shards) for i in range(n_shards)]
 
-    for _ in range(max_hops):
+    def emigrants(local):
         kx, _, _ = _leaf_keys(local.xyz, local.valid, cfg)
         lo, hi = local_kx_range(cfg, axis_name, n_shards)
-        out_lo = local.valid & (kx < lo)
-        out_hi = local.valid & (kx >= hi)
+        return local.valid & (kx < lo), local.valid & (kx >= hi)
+
+    def hop(local):
+        out_lo, out_hi = emigrants(local)
         local = local._replace(valid=local.valid & ~out_lo & ~out_hi)
         for mask, perm in ((out_lo, perm_dn), (out_hi, perm_up)):
             em = local._replace(valid=mask, overflow=jnp.zeros((), jnp.int32))
@@ -175,11 +188,30 @@ def shard_roll(local: VoxelMap, vox_offset, cfg: MapConfig, axis_name,
             # out-of-window garbage; _leaf_keys re-checks the window so a
             # wrapped point that is genuinely outside every slab is invalid
             local = _compact_merge(local, im, cfg)
+        return local
 
+    def n_stray(local):
+        lo_m, hi_m = emigrants(local)
+        return jax.lax.psum(jnp.sum(lo_m | hi_m, dtype=jnp.int32), axis_name)
+
+    if max_hops is None:
+        # the psum lives in the BODY (carried into cond as a plain scalar:
+        # collectives inside while_loop conds are backend-fragile)
+        def body(st):
+            local, _, it = st
+            local = hop(local)
+            return local, n_stray(local), it + 1
+
+        local, _, _ = jax.lax.while_loop(
+            lambda st: (st[1] > 0) & (st[2] < n_shards),
+            body, (local, n_stray(local), jnp.zeros((), jnp.int32)))
+        return local
+
+    for _ in range(max_hops):
+        local = hop(local)
     # anything still out of range after max_hops is dropped, counted
-    kx, _, _ = _leaf_keys(local.xyz, local.valid, cfg)
-    lo, hi = local_kx_range(cfg, axis_name, n_shards)
-    stray = local.valid & ((kx < lo) | (kx >= hi))
+    lo_m, hi_m = emigrants(local)
+    stray = lo_m | hi_m
     return local._replace(
         valid=local.valid & ~stray,
         overflow=local.overflow + jnp.sum(stray, dtype=jnp.int32))
@@ -268,7 +300,7 @@ def add_points_sharded(mesh, gmap: VoxelMap, new_xyz, new_intensity, new_time,
 
 @partial(jax.jit, static_argnames=("mesh", "cfg", "max_hops"))
 def roll_sharded(mesh, gmap: VoxelMap, vox_offset, cfg: MapConfig,
-                 max_hops: int = 1) -> VoxelMap:
+                 max_hops=None) -> VoxelMap:
     """RollingGrid::Roll on the mesh-sharded map with ppermute migration."""
     n = mesh.devices.size
 
