@@ -96,17 +96,25 @@ def _tunnel_health():
     import jax.numpy as jnp
 
     try:
+        # sync via a scalar fetch, not block_until_ready (which can return
+        # before remote completion on the tunneled platform — see
+        # _device_health)
+        def sync(x):
+            return float(jnp.sum(x[:64].astype(jnp.int32)))
+
         big = np.zeros(4 << 20, np.uint8)
-        jax.block_until_ready(jnp.asarray(big))       # warm path
+        sync(jnp.asarray(big))                         # warm path
         t0 = time.perf_counter()
         for _ in range(4):
-            jax.block_until_ready(jnp.asarray(big))
+            sync(jnp.asarray(big))
         dt = (time.perf_counter() - t0) / 4
         t0 = time.perf_counter()
         small = np.zeros(64, np.uint8)
         for _ in range(10):
-            jax.block_until_ready(jnp.asarray(small))
+            sync(jnp.asarray(small))
         rtt = (time.perf_counter() - t0) / 10
+        # the 4 MB upload time includes one RTT of sync; subtract it
+        dt = max(dt - rtt, 1e-9)
         return {"tunnel_upload_mbps": round(big.nbytes / dt / 1e6, 0),
                 "tunnel_rtt_ms": round(rtt * 1000, 2)}
     except Exception:
@@ -115,11 +123,19 @@ def _tunnel_health():
 
 def _device_health():
     """Stamp the CHIP's speed at bench time with two fixed reference ops
-    (a 2048^3 bf16 matmul -> achieved TFLOP/s, and an 8 MB f32 copy ->
-    achieved HBM GB/s). The tunneled chip is shared infrastructure: the
-    same compiled program has measured 1.5-1.8x slower device time across
-    captures hours apart (round 4), so absolute scans/s are only
-    comparable through this stamp."""
+    (a 2048^3 bf16 matmul -> achieved TFLOP/s, and a 64 MB f32 streaming
+    add -> achieved HBM GB/s). The tunneled chip is shared infrastructure:
+    the same compiled program has measured 1.5-1.8x slower device time
+    across captures hours apart (round 4), so absolute scans/s are only
+    comparable through this stamp.
+
+    Both probes CHAIN the timed executions on their own outputs and sync
+    via a SCALAR VALUE FETCH, not `block_until_ready`: on the tunneled
+    platform block_until_ready can return before remote execution
+    finishes (round-5 captures read 3,000-20,000 "TFLOP/s" against a 197
+    peak with it; a reduce-to-scalar fetch — which must materialize the
+    result — reads a stable ~35-75). The 64 MB buffer also exceeds the
+    16 MB VMEM so the loop carry provably streams through HBM."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -127,25 +143,27 @@ def _device_health():
     try:
         from jax import lax
 
+        def timed(fn, x, per_call, chain=3):
+            float(jnp.sum(fn(x)))              # warm + full remote sync
+            t0 = time.perf_counter()
+            out = x
+            for _ in range(chain):
+                out = fn(out)                  # distinct input each call
+            float(jnp.sum(out))                # forced materialization
+            return (time.perf_counter() - t0) / (per_call * chain)
+
         # chain the reference ops ON DEVICE (one dispatch >> tunnel RTT),
-        # else the stamp measures dispatch latency instead of the chip
-        n, iters = 2048, 128
-        a = jnp.asarray(np.random.default_rng(0).normal(size=(n, n)),
+        # else the stamp measures dispatch latency instead of the chip.
+        # scale down each iteration so the chained carry cannot overflow.
+        n, iters = 2048, 64
+        a = jnp.asarray(np.random.default_rng(0).normal(size=(n, n)) / n,
                         jnp.bfloat16)
-        mm = jax.jit(lambda x: lax.fori_loop(0, iters, lambda i, c: x @ c, x))
-        jax.block_until_ready(mm(a))
-        t0 = time.perf_counter()
-        jax.block_until_ready(mm(a))
-        dt_mm = (time.perf_counter() - t0) / iters
-        # 64 MB: comfortably larger than the 16 MB VMEM, so every loop
-        # iteration provably streams the carry through HBM (an 8 MB carry
-        # can stay VMEM-resident and measure VMEM, not HBM, bandwidth)
-        big = jnp.zeros((16 << 20,), jnp.float32)
+        mm = jax.jit(lambda x: lax.fori_loop(
+            0, iters, lambda i, c: (x @ c) * jnp.bfloat16(0.5), x))
+        dt_mm = timed(mm, a, iters)
+        big = jnp.zeros((16 << 20,), jnp.float32)   # 64 MB
         cp = jax.jit(lambda x: lax.fori_loop(0, 64, lambda i, c: c + 1.0, x))
-        jax.block_until_ready(cp(big))
-        t0 = time.perf_counter()
-        jax.block_until_ready(cp(big))
-        dt_cp = (time.perf_counter() - t0) / 64
+        dt_cp = timed(cp, big, 64)
         return {"device_matmul_tflops": round(2 * n**3 / dt_mm / 1e12, 1),
                 "device_hbm_gbps": round(2 * big.nbytes / dt_cp / 1e9, 0)}
     except Exception:

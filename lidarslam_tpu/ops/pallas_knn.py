@@ -86,11 +86,23 @@ BIG = jnp.float32(1e9)  # coordinate sentinel for invalid slots (d2 ~ 3e18)
 
 
 def pick_lanes(M: int) -> int:
-    """Bucket count for an M-slot map: small maps get narrow (L=128) lanes
-    so the ROW_BLOCK x L prune blocks are spatially fine — and depth-2
-    buckets then hold recall ABOVE the wide single-depth kernel
-    (~0.993 vs ~0.957 for k=10). Large maps keep L=1024 so RM stays within
-    the packed row-id budget."""
+    """Bucket count for an M-slot map: small maps get narrow lanes so the
+    ROW_BLOCK x L prune blocks are spatially fine — and depth-2 buckets
+    then hold recall ABOVE the wide single-depth kernel. L=64 for maps up
+    to 2^17 slots (RM then tops out exactly at the 2^11 packed-row
+    budget). Round-5 hardware data on a live 64-beam capture: STANDALONE
+    (kernel-only chained dispatch) L=64 ran 4.3x faster than L=128 for
+    the plane call and 13x for edges, but an interleaved in-process A/B
+    of the FULL fused pipeline measured the two as perf-neutral (device
+    12.47 vs 12.63 ms/frame, knn 6.08 vs 6.09 — the standalone gap is a
+    Mosaic scheduling artifact of the isolated program, not intrinsic).
+    L=64 is kept for the standalone-path win, the 2x finer prune blocks,
+    and the better depth-2 recall margin at small k (slotwise recall
+    measured >= 0.9999 vs exact f64 neighbors for both L). Larger maps
+    fall back to L=128 / L=1024 to stay within the packed row-id
+    budget."""
+    if M <= (1 << 17):
+        return 64
     return 128 if M <= (1 << 18) else LANES
 
 

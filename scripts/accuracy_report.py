@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--only-pgo", action="store_true",
                     help="run only the GPS-prior PGO scenario")
+    ap.add_argument("--only-moving", action="store_true",
+                    help="run only the moving-object rejection scenario")
     args = ap.parse_args()
 
     import jax
@@ -86,7 +88,9 @@ def main():
     ]
 
     rows = []
-    for name, cfg, seqkw in ([] if args.only_pgo else scenarios):
+    if args.only_pgo or args.only_moving:
+        scenarios = []
+    for name, cfg, seqkw in scenarios:
         seqkw = dict(seqkw)
         n_frames = seqkw.pop("n_frames", args.frames)
         frames = synthetic.generate_sequence(n_frames=n_frames, **seqkw)
@@ -122,6 +126,8 @@ def main():
     # tracker of static structure.
     if not args.only_pgo:
         world = synthetic.default_world(seed=0)
+        if args.only_moving:
+            args.frames = max(args.frames, 20)
         world.boxes.append(synthetic.Box(
             lo=np.array([14.0, -9.0, 0.0]), hi=np.array([16.5, -7.8, 1.6]),
             intensity=70.0, velocity=np.array([0.0, 4.0, 0.0])))
@@ -133,10 +139,15 @@ def main():
         def mover_contamination(slam):
             """Clean map points inside the mover's swept corridor band
             (static geometry there: ground below z=0.1 and a few thin
-            cylinders, both excluded)."""
+            cylinders, both excluded). The engine's world frame is anchored
+            at the FIRST pose (identity), so map points are brought back to
+            simulator coordinates through gt0 before the region test."""
+            gt0 = mv_frames[0]["gt_pose"]
             n = 0
             for k in slam.cfg.used_types:
                 xyz = slam.get_map_points(k, clean=True)[0]
+                xyz = xyz @ gt0[:3, :3].T.astype(np.float32) \
+                    + gt0[:3, 3].astype(np.float32)
                 m = ((xyz[:, 0] > 13.5) & (xyz[:, 0] < 17.0)
                      & (np.abs(xyz[:, 1]) < 5.5)
                      & (xyz[:, 2] > 0.1) & (xyz[:, 2] < 2.0))
@@ -178,6 +189,9 @@ def main():
         print("|---|---|---|---|")
         for label, rmse, contam, failed in mv_rows:
             print(f"| {label} | {rmse:.3f} | {contam} | {failed} |")
+
+    if args.only_moving:
+        return
 
     # ---- loop-closure-style correction: PGO with GPS priors cuts ATE ----
     # (the reference's GPS/SLAM calibration + pose-graph use case,

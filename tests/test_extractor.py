@@ -154,6 +154,29 @@ def test_compaction_consistency(setup):
         assert np.min(np.linalg.norm(ring0 - p, axis=1)) < 1e-5
 
 
+def test_per_type_keypoint_budgets(setup):
+    """Per-type capacity overrides shape each output independently and
+    select the same keypoints as the uniform budget where unsaturated
+    (SSKE keeps every labeled point; the budget is the static-shape cap)."""
+    cfg, rings, ri, oracle, result = setup
+    cfg2 = ExtractorConfig(n_rings=cfg.n_rings, max_ring_points=cfg.max_ring_points,
+                           max_keypoints=cfg.max_keypoints, nms_rounds=cfg.nms_rounds,
+                           max_edge_keypoints=128, max_plane_keypoints=1024)
+    assert (cfg2.kp_capacity(0), cfg2.kp_capacity(1), cfg2.kp_capacity(2)) \
+        == (128, 1024, cfg.max_keypoints)
+    r2 = extractor.extract_keypoints(ri, AZ, cfg2)
+    assert r2.edges.xyz.shape[0] == 128
+    assert r2.planes.xyz.shape[0] == 1024
+    assert r2.blobs.xyz.shape[0] == cfg.max_keypoints
+    # unsaturated types pick identical keypoints as the uniform budget
+    for a, b in ((result.edges, r2.edges), (result.planes, r2.planes)):
+        na, nb = int(a.count), int(b.count)
+        if nb < b.xyz.shape[0]:      # unsaturated in the per-type config
+            assert na == nb
+            np.testing.assert_array_equal(np.asarray(a.xyz)[:na],
+                                          np.asarray(b.xyz)[:nb])
+
+
 def test_azimuthal_resolution_estimation(setup):
     cfg, rings, ri, oracle, result = setup
     est = estimate_azimuthal_resolution(ri)

@@ -210,25 +210,30 @@ def test_prepared_planes_flat_index_matches_xyz():
 
 def test_depth2_recall_beats_single_depth_bound():
     """Narrow-lane maps run depth-2 buckets (two slots per bucket): recall
-    for k=10 must stay >= 0.99 — above the wide single-depth kernel's
-    ~0.957 expectation (module docstring math)."""
+    for k=10 must stay >= 0.99 at BOTH narrow-lane configs (L=64 is the
+    default for maps <= 2^17 since the round-5 layout A/B; L=128 covers
+    2^17..2^18) — above the wide single-depth kernel's ~0.957 expectation
+    (module docstring math)."""
     rng = np.random.default_rng(11)
-    M = 1 << 14                      # small map -> L=128, depth 2
-    assert pallas_knn.pick_lanes(M) == 128
-    assert pallas_knn._depth(10, 128) == 2
+    M = 1 << 14
+    assert pallas_knn.pick_lanes(M) == 64
     xyz = jnp.asarray(rng.uniform(-30, 30, (M, 3)).astype(np.float32))
     valid = jnp.asarray(rng.uniform(size=M) < 0.9)
     queries = jnp.asarray(rng.uniform(-30, 30, (256, 3)).astype(np.float32))
     k = 10
-    d2, idx = pallas_knn.bucketed_knn(xyz, valid, queries, k, interpret=True)
     ed2, eidx = _exact(xyz, valid, queries, k)
-    idx, eidx = np.asarray(idx), np.asarray(eidx)
-    hits = sum(len(set(idx[i]) & set(eidx[i])) for i in range(len(idx)))
-    assert hits / idx.size >= 0.99, hits / idx.size
-    # ascending distances, valid rows
-    d2 = np.asarray(d2)
-    assert (np.diff(d2, axis=1) >= 0).all()
-    assert np.asarray(valid)[idx[np.isfinite(d2)]].all()
+    for L in (64, 128):
+        assert pallas_knn._depth(10, L) == 2
+        prep = pallas_knn.prepare_map(xyz, valid, lanes=L)
+        d2, idx = pallas_knn.bucketed_knn(xyz, valid, queries, k,
+                                          interpret=True, prepared=prep)
+        idx_n, eidx_n = np.asarray(idx), np.asarray(eidx)
+        hits = sum(len(set(idx_n[i]) & set(eidx_n[i])) for i in range(len(idx_n)))
+        assert hits / idx_n.size >= 0.99, (L, hits / idx_n.size)
+        # ascending distances, valid rows
+        d2 = np.asarray(d2)
+        assert (np.diff(d2, axis=1) >= 0).all()
+        assert np.asarray(valid)[idx_n[np.isfinite(d2)]].all()
 
 
 def test_depth2_coords_match_rows():
