@@ -186,6 +186,18 @@ class MatchingConfig:
     # saturation distance schedule across ICP iterations (Slam.h:640-643)
     init_saturation_distance: float = 2.0   # [m]
     final_saturation_distance: float = 0.5  # [m]
+    # TPU-first deviation from the reference's per-round re-query
+    # (KeypointsMatcher re-runs the kd-tree search every ICP round,
+    # Slam.cxx:1086-1090): query the map k-NN ONCE per frame in round 0
+    # and reuse the neighbor coordinates in later rounds, recomputing
+    # exact distances against each refined pose. Between rounds the pose
+    # moves centimeters while the neighbor gate is metres
+    # (max_neighbors_distance), so the candidate sets are stable; the
+    # k-NN kernel is the hottest per-frame region, and skipping rounds
+    # 2..n of it cuts its cost by ~the round count. Ignored on the
+    # slab-sharded map path (its k-NN embeds collectives). Default False
+    # = exact reference semantics.
+    reuse_knn: bool = False
 
 
 @dataclass(frozen=True)

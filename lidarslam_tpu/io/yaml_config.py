@@ -35,6 +35,9 @@ def _matching(d: dict, base: MatchingConfig, single_edge_per_ring: bool) -> Matc
         "blob_nb_neighbors": "blob_nb_neighbors",
         "init_saturation_distance": "init_saturation_distance",
         "final_saturation_distance": "final_saturation_distance",
+        # TPU extension (no reference counterpart): one k-NN query per
+        # frame, neighbors reused across ICP rounds
+        "reuse_knn": "reuse_knn",
     }
     kw = {dst: d[src] for src, dst in m.items() if src in d}
     kw["single_edge_per_ring"] = single_edge_per_ring

@@ -105,11 +105,46 @@ def icp_register(
                 and isinstance(inputs.index[ti], voxel_map.SubmapView):
             prepared[ti] = voxel_map.prepare_knn_index(inputs.index[ti], k_of[t])
 
+    # reuse_knn (MatchingConfig): query the map k-NN only in round 0 and
+    # carry the neighbor coordinates through later rounds — the hottest
+    # kernel then runs once per frame instead of once per round. Exact
+    # distances are recomputed against every refined pose; disabled on the
+    # slab-sharded geometry (its k-NN embeds collectives, which must not
+    # sit under a round-index cond) and on single-round loops.
+    reuse = (params.reuse_knn and icp_iters > 1
+             and all(geoms[int(t)] is None for t in types))
+    k_by_type = {Keypoint.EDGE: params.edge_nb_neighbors,
+                 Keypoint.PLANE: params.plane_nb_neighbors,
+                 Keypoint.BLOB: params.blob_nb_neighbors}
+
+    def _fresh_knn(x_by_type, p):
+        out = []
+        from lidarslam_tpu.core import se3
+
+        for t in types:
+            ti = int(t)
+            w = se3.japply_pose(p, x_by_type[ti])
+            _, nbr, rings, found = matcher.knn_query(
+                inputs.index[ti], w, k_by_type[t], params, geoms[ti],
+                inputs.kp_valid[ti], prepared[ti])
+            out.append((nbr, rings, found))
+        return tuple(out)
+
+    def _empty_knn():
+        out = []
+        for t in types:
+            ti = int(t)
+            Q, k = inputs.kp_xyz[ti].shape[0], k_by_type[t]
+            out.append((jnp.zeros((Q, k, 3), jnp.float32),
+                        jnp.zeros((Q, k), jnp.int32),
+                        jnp.zeros((Q, k), bool)))
+        return tuple(out)
+
     # one fori_loop over ICP rounds: the matcher graph is traced once (compile
     # time) and the shrinking saturation schedule is computed from the round
     # index; early-exit/minimum-match guards are where-gated state
     def body(it, state):
-        pose, active, failed, total, counts, H, statuses, weights = state
+        pose, active, failed, total, counts, H, statuses, weights, knn_cache = state
         ratio = it.astype(jnp.float32) / max(icp_iters - 1, 1)
         sat = ((1.0 - ratio) * params.init_saturation_distance
                + ratio * params.final_saturation_distance)
@@ -121,15 +156,26 @@ def icp_register(
             else:
                 warp = prior_warp
 
-        blocks = []
+        xs = [None, None, None]
         for t in types:
             ti = int(t)
             x = inputs.kp_xyz[ti]
             if undistort:
                 x = undistortion.warp_points(x, inputs.kp_time[ti], warp)
-            blocks.append(match_fns[t](x, inputs.kp_valid[ti],
+            xs[ti] = x
+
+        if reuse:
+            knn_cache = jax.lax.cond(it == 0,
+                                     lambda: _fresh_knn(xs, pose),
+                                     lambda: knn_cache)
+
+        blocks = []
+        for i, t in enumerate(types):
+            ti = int(t)
+            blocks.append(match_fns[t](xs[ti], inputs.kp_valid[ti],
                                        inputs.index[ti], pose, params, geoms[ti],
-                                       prepared=prepared[ti]))
+                                       prepared=prepared[ti],
+                                       knn=knn_cache[i] if reuse else None))
 
         it_counts = jnp.stack([b.n_matches.astype(jnp.int32) for b in blocks])
         if axis_name is not None:
@@ -153,13 +199,15 @@ def icp_register(
         failed = failed | (active & ~enough)
         converged = res.n_success == 1
         active = step_ok & ~converged
-        return pose, active, failed, total, counts, H, statuses, weights
+        return (pose, active, failed, total, counts, H, statuses, weights,
+                knn_cache)
 
     # while_loop, not fori: the reference BREAKS out of the ICP loop when LM
     # converges in one step (Slam.cxx:950, 1151). A fori body would still
     # execute the remaining rounds' matcher+kernel+LM with where-gated
     # results — each skipped round saves a full match+solve on device.
-    state = (pose, active, failed, total, counts, H, statuses, weights)
+    state = (pose, active, failed, total, counts, H, statuses, weights,
+             _empty_knn() if reuse else ())
 
     def w_cond(carry):
         it, st = carry
@@ -170,7 +218,7 @@ def icp_register(
         return it + 1, body(it, st)
 
     _, state = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), state))
-    pose, active, failed, total, counts, H, statuses, weights = state
+    pose, active, failed, total, counts, H, statuses, weights, _ = state
 
     final_warp = None
     if undistort:

@@ -130,12 +130,31 @@ def _knn(index: SubmapView, world, k, params: MatchingConfig, geom=None,
     return d2, nbr, index.ring[idx], found
 
 
+# public alias: the ICP loop's reuse_knn mode queries neighbors itself in
+# round 0 and hands the cached (nbr, rings, found) back into match_*
+knn_query = _knn
+
+
+def _reuse_d2(world, nbr, found):
+    """Exact squared distances of re-posed queries to CACHED neighbor
+    coordinates (the reuse_knn path: coordinates from round 0, distances
+    against the current round's pose)."""
+    diff = world[:, None, :] - nbr
+    d2 = jnp.sum(diff * diff, axis=-1)
+    return jnp.where(found, d2, jnp.inf)
+
+
 def match_planes(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfig, geom,
-                 prepared=None):
-    """Point-to-plane matches (BuildPlaneMatch semantics)."""
+                 prepared=None, knn=None):
+    """Point-to-plane matches (BuildPlaneMatch semantics). `knn`: cached
+    (nbr, rings, found) from a previous round (reuse_knn mode)."""
     k = params.plane_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
-    d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid, prepared)
+    if knn is None:
+        d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid, prepared)
+    else:
+        nbr, _, found = knn
+        d2 = _reuse_d2(world, nbr, found)
 
     n_found = jnp.sum(found, axis=1)
     enough = kp_valid & (n_found >= k)
@@ -163,11 +182,16 @@ def match_planes(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConf
 
 
 def match_edges(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfig, geom,
-                prepared=None):
-    """Point-to-line matches; neighbor filter per params.single_edge_per_ring."""
+                prepared=None, knn=None):
+    """Point-to-line matches; neighbor filter per params.single_edge_per_ring.
+    `knn`: cached (nbr, rings, found) from a previous round (reuse_knn)."""
     k = params.edge_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
-    d2, nbr, rings, found = _knn(index, world, k, params, geom, kp_valid, prepared)
+    if knn is None:
+        d2, nbr, rings, found = _knn(index, world, k, params, geom, kp_valid, prepared)
+    else:
+        nbr, rings, found = knn
+        d2 = _reuse_d2(world, nbr, found)
 
     if params.single_edge_per_ring:
         sel = _per_ring_filter(rings, found)
@@ -196,11 +220,16 @@ def match_edges(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfi
 
 
 def match_blobs(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfig, geom,
-                prepared=None):
-    """Point-to-ellipsoid matches (BuildBlobMatch semantics)."""
+                prepared=None, knn=None):
+    """Point-to-ellipsoid matches (BuildBlobMatch semantics). `knn`: cached
+    (nbr, rings, found) from a previous round (reuse_knn mode)."""
     k = params.blob_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
-    d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid, prepared)
+    if knn is None:
+        d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid, prepared)
+    else:
+        nbr, _, found = knn
+        d2 = _reuse_d2(world, nbr, found)
 
     n_found = jnp.sum(found, axis=1)
     enough = kp_valid & (n_found >= k)

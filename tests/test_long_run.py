@@ -56,13 +56,15 @@ def test_two_hundred_frames_64beam_zero_failures():
     frames = synthetic.generate_sequence(
         n_frames=200, sensor=sensor, motion_distortion=False,
         trajectory=synthetic.weaving_street_trajectory())
+    from lidarslam_tpu.config import MatchingConfig
     cfg = SlamConfig(
         extractor=ExtractorConfig(n_rings=64, max_ring_points=2048,
                                   max_keypoints=8192,
                                   max_plane_keypoints=16384),
         edge_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
         plane_map=MapConfig(leaf_size=0.60, capacity=1 << 16),
-        blob_map=MapConfig(leaf_size=0.30, capacity=1 << 16))
+        blob_map=MapConfig(leaf_size=0.30, capacity=1 << 16),
+        loc_matching=MatchingConfig(reuse_knn=True))
     slam = Slam(cfg)
     gt0 = frames[0]["gt_pose"]
     n_failed = 0
