@@ -92,8 +92,17 @@ def _finish(A6, P, X, weight, ok, status):
 
 
 def _knn(index: SubmapView, world, k, params: MatchingConfig, geom=None,
-         q_valid=None, prepared=None):
+         q_valid=None, prepared=None, need_rings=True):
     """Neighbor search. Returns (d2 (Q,k), nbr (Q,k,3), rings (Q,k), found).
+
+    `need_rings=False` skips the per-neighbor ring gather and returns a
+    constant-zero plane of the same shape: only the ego-motion edge filter
+    (`single_edge_per_ring`) consumes rings, and a localization SubmapView's
+    ring plane is all-zeros anyway (voxel_map.extract_submap_view) — yet the
+    gather itself is an emulated (Q*k)-row loop that profiled at ~0.58 ms
+    PER TYPE per frame at 64-beam scale (round-5 trace: the two hottest
+    non-kernel fusions bracketing the plane k-NN were exactly this gather
+    of broadcast zeros).
 
     `geom` is the static per-call index geometry: None for a plain local
     SubmapView scan; ("map_shard", axis_name) when `index` is this device's
@@ -127,7 +136,8 @@ def _knn(index: SubmapView, world, k, params: MatchingConfig, geom=None,
                              q_valid=q_valid, prepared=prepared,
                              with_coords=True)
     found = jnp.isfinite(d2)
-    return d2, nbr, index.ring[idx], found
+    rings = index.ring[idx] if need_rings else jnp.zeros(idx.shape, jnp.int32)
+    return d2, nbr, rings, found
 
 
 # public alias: the ICP loop's reuse_knn mode queries neighbors itself in
@@ -151,7 +161,8 @@ def match_planes(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConf
     k = params.plane_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
     if knn is None:
-        d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid, prepared)
+        d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid,
+                                 prepared, need_rings=False)
     else:
         nbr, _, found = knn
         d2 = _reuse_d2(world, nbr, found)
@@ -188,7 +199,9 @@ def match_edges(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfi
     k = params.edge_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
     if knn is None:
-        d2, nbr, rings, found = _knn(index, world, k, params, geom, kp_valid, prepared)
+        d2, nbr, rings, found = _knn(index, world, k, params, geom, kp_valid,
+                                     prepared,
+                                     need_rings=params.single_edge_per_ring)
     else:
         nbr, rings, found = knn
         d2 = _reuse_d2(world, nbr, found)
@@ -226,7 +239,8 @@ def match_blobs(kp_xyz, kp_valid, index: SubmapView, pose, params: MatchingConfi
     k = params.blob_nb_neighbors
     world = se3.japply_pose(pose, kp_xyz)
     if knn is None:
-        d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid, prepared)
+        d2, nbr, _, found = _knn(index, world, k, params, geom, kp_valid,
+                                 prepared, need_rings=False)
     else:
         nbr, _, found = knn
         d2 = _reuse_d2(world, nbr, found)

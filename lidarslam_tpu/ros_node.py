@@ -37,9 +37,8 @@ same files bind through `io/yaml_config.py`).
 from __future__ import annotations
 
 import dataclasses
-import struct
 import sys
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
