@@ -59,7 +59,8 @@ def _roofline(cfg, device_ms_per_frame, xplane, nprof):
     from lidarslam_tpu.config import Keypoint
     from lidarslam_tpu.utils import profiling
 
-    rounds = cfg.localization_icp_max_iter
+    # reuse_knn runs the map scan once per frame, not once per ICP round
+    rounds = 1 if cfg.loc_matching.reuse_knn else cfg.localization_icp_max_iter
     flops = 0.0
     bytes_ = 0.0
     for t in cfg.used_types:
